@@ -1,0 +1,149 @@
+"""Analyzer goldens re-expressed from the reference's Go tests.
+
+Citations into /root/reference: bigram_test.go:17-44, unigram_test.go:17-37,
+nlp/tokenizer_test.go:12-25, database_test.go:76-133, search_test.go:227-268.
+"""
+
+from watertower_spark.analyzers import (
+    analyze_document,
+    analyze_query,
+    bigram_splitter,
+    english_splitter,
+    find_analyzer,
+    split_title_body,
+    tokenize_stream,
+    unigram_splitter,
+)
+from watertower_spark.analyzers import porter2
+
+
+# ------------------------------------------------------------- splitters
+
+def test_bigram_goldens():
+    assert bigram_splitter("hello") == ["he", "el", "ll", "lo"]
+    assert bigram_splitter("") == []
+    assert bigram_splitter("a") == []
+    assert bigram_splitter("🐸🐍") == ["🐸🐍"]
+
+
+def test_unigram_goldens():
+    assert unigram_splitter("hello") == ["h", "e", "l", "l", "o"]
+    assert unigram_splitter("🐸🐍") == ["🐸", "🐍"]
+
+
+def test_english_splitter():
+    assert english_splitter('Hello, World: "yes".') == ["hello", "world", '"yes']
+    # TrimRight only strips trailing chars in {. , : "}
+    assert english_splitter("simple, reliable, and efficient software.") == [
+        "simple",
+        "reliable",
+        "and",
+        "efficient",
+        "software",
+    ]
+
+
+# ------------------------------------------------------------- stemmer
+
+def test_porter2_vectors():
+    vectors = {
+        # standard Porter2 behavior on corpus words
+        "programming": "program",
+        "requests": "request",
+        "request": "request",
+        "processing": "process",
+        "switching": "switch",
+        "indicates": "indic",
+        "response": "respons",
+        "continue": "continu",
+        "created": "creat",
+        "resources": "resourc",
+        "succeeded": "succeed",   # exceptional form base
+        "preloading": "preload",
+        "happiness": "happi",
+        "conditional": "condit",
+        "rational": "ration",
+        "ties": "tie",
+        "cries": "cri",
+        "hoping": "hope",
+        "hopping": "hop",
+        "generously": "generous",
+        "communication": "communic",
+        "gas": "gas",
+        "this": "this",           # snowball stop word → unchanged
+        "after": "after",         # snowball stop word → unchanged
+        "doing": "doing",         # snowball stop word → unchanged
+        "sky": "sky",             # exception list
+        "dying": "die",           # exception list
+        "news": "news",
+        "by": "by",               # <= 2 letters unchanged
+        "inning": "inning",       # invariant after 1a
+    }
+    for word, want in vectors.items():
+        assert porter2.stem(word) == want, f"{word}: {porter2.stem(word)!r} != {want!r}"
+
+
+# ------------------------------------------------------------- tokenize
+
+def test_tokenize_positions_are_kept_word_indexes():
+    en = find_analyzer("en")
+    tmap, wc = tokenize_stream(en, "post request post")
+    assert wc == 3
+    assert tmap["post"] == [0, 2]
+    assert tmap["request"] == [1]
+
+
+def test_tokenize_stem_lookup():
+    # nlp/tokenizer_test.go:12-25 — stem of "programming" is a key
+    en = find_analyzer("en")
+    sentence = (
+        "Go is an open source programming language that makes it easy to "
+        "build simple, reliable, and efficient software."
+    )
+    tmap, wc = tokenize_stream(en, sentence)
+    assert wc == 18
+    assert porter2.stem("programming") in tmap
+
+
+def test_ngram_fallback_counts():
+    # database_test.go:97-112: "G" → 1 token; "Go" → 3 tokens (1 bigram +
+    # 2 unigrams), wordCount == 1 (bigram count wins when non-zero)
+    tokens, wc, twc = analyze_document("", "G", lang="")
+    assert len(tokens) == 1  # unigram "G" only (bigram returns [])
+    assert wc == 1
+
+    tokens, wc, twc = analyze_document("", "Go", lang="")
+    assert len(tokens) == 3  # {"Go"} bigram + {"G","o"} unigram
+    assert wc == 1
+    # unigram positions shifted by bigram word count (database.go:181-186)
+    assert tokens["Go"] == [0]
+    assert tokens["G"] == [1]
+    assert tokens["o"] == [2]
+
+
+def test_title_body_merge_body_wins():
+    # A9: body positions restart at 0; A10: body map overwrites title map
+    tokens, wc, twc = analyze_document("post alpha", "beta post", lang="en")
+    assert twc == 2 and wc == 4
+    assert tokens["post"] == [1]   # body occurrence (pos 1 in body) wins
+    assert tokens["alpha"] == [1]  # title-only keeps title positions
+    assert tokens["beta"] == [0]
+
+
+def test_split_title_body_roundtrip():
+    text = "101 Switching Protocol\n\n\n101 Switching Protocol\n\nThis code."
+    title, body = split_title_body(text)
+    assert title == "101 Switching Protocol"
+    assert body == "\n101 Switching Protocol\n\nThis code."
+    assert title + "\n\n" + body == text
+
+
+def test_analyze_query_language_fallback():
+    # search.go:20-26: byte length < 2 → unigram else bigram
+    q = analyze_query("G", lang="")
+    assert set(q) == {"G"}
+    q = analyze_query("Go", lang="")
+    assert set(q) == {"Go"}
+    q = analyze_query("POST requests", lang="en")
+    assert set(q) == {"post", "request"}
+    assert q["post"] == [0] and q["request"] == [1]

@@ -1,0 +1,179 @@
+"""Language analyzers: doc text → (term → word positions) streams.
+
+Pure-Python core (no Spark imports) so the same code runs:
+- inside vectorized ``mapInPandas`` / pandas UDF batches on executors, and
+- driver-side for query-string analysis (queries are tiny).
+
+Semantics re-expressed from the reference (citations into /root/reference):
+
+- registry / dispatch                 nlp/tokenizer.go:12-41
+- English splitter: whitespace Fields split, TrimRight('.,:"'), lowercase
+                                       nlp/english/english.go:20-28
+- English stemmer: Snowball English (Porter2), stop words unstemmed
+                                       nlp/english/english.go:30-32
+- English index stop-word set is EMPTY (declared but never populated)
+                                       nlp/english/english.go:14-16
+- position = index among *kept* words; stop words skipped without
+  advancing the index            nlp/tokenizer.go:47-66
+- the `offset` parameter of Tokenize is computed but never applied
+  (quirk): title and body positions BOTH start at 0
+                                       nlp/tokenizer.go:75-80
+- TokenizeToMap dedupes by term; title/body maps merged body-last-wins
+                                       nlp/tokenizer.go:84-91; database.go:199-203
+- unigram splitter: per-codepoint     nlp/unigram/unigram.go:15-17
+- bigram splitter: adjacent codepoint pairs, [] when the UTF-8 BYTE
+  length < 2 (byte-length guard, rune pairs — quirk)
+                                       nlp/bigram/bigram.go:15-25
+- language fallback when lang == "": index under bigram AND unigram,
+  unigram positions shifted by the bigram word count (the shift IS
+  applied on this path)               database.go:158-192
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from . import porter2
+
+Splitter = Callable[[str], list]
+Stemmer = Optional[Callable[[str], str]]
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    name: str
+    splitter: Splitter
+    stemmer: Stemmer
+    stop_words: frozenset
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def register_analyzer(
+    lang: str, splitter: Splitter, stemmer: Stemmer, stop_words: frozenset = frozenset()
+) -> None:
+    _REGISTRY[lang] = Analyzer(lang, splitter, stemmer, stop_words)
+
+
+def find_analyzer(lang: str) -> Analyzer:
+    a = _REGISTRY.get(lang)
+    if a is None:
+        raise KeyError(f"no analyzer registered for language {lang!r}")
+    return a
+
+
+# ---------------------------------------------------------------- splitters
+
+def english_splitter(content: str) -> list:
+    # Go strings.Fields ≈ str.split() (split on Unicode-whitespace runs,
+    # no empties), then TrimRight('.,:"') + lowercase per word.
+    return [w.rstrip('.,:"').lower() for w in content.split()]
+
+
+def simple_splitter(content: str) -> list:
+    """english_splitter without stemming downstream — the SQL-expressible
+    analyzer used for DuckDB-oracle parity checks."""
+    return [w.rstrip('.,:"').lower() for w in content.split()]
+
+
+def unigram_splitter(content: str) -> list:
+    return list(content)
+
+
+def bigram_splitter(content: str) -> list:
+    if len(content.encode("utf-8")) < 2:
+        return []
+    chars = list(content)
+    return [chars[i] + chars[i + 1] for i in range(len(chars) - 1)]
+
+
+register_analyzer("en", english_splitter, porter2.stem)
+register_analyzer("simple", simple_splitter, None)
+register_analyzer("unigram", unigram_splitter, None)
+register_analyzer("bigram", bigram_splitter, None)
+
+
+# ------------------------------------------------------------- tokenization
+
+def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:
+    """content → ({term: [positions]}, kept-word count).
+
+    Position = running index over kept (non-stop) words; the section
+    offset is deliberately NOT applied (reference quirk A9).
+    """
+    positions: dict = {}
+    idx = 0
+    stop = analyzer.stop_words
+    stemmer = analyzer.stemmer
+    if stemmer is None:
+        for w in analyzer.splitter(content):
+            if w in stop:
+                continue
+            positions.setdefault(w, []).append(idx)
+            idx += 1
+    else:
+        cache: dict = {}
+        for w in analyzer.splitter(content):
+            if w in stop:
+                continue
+            t = cache.get(w)
+            if t is None:
+                t = stemmer(w)
+                cache[w] = t
+            positions.setdefault(t, []).append(idx)
+            idx += 1
+    return positions, idx
+
+
+def _analyze_with_language(
+    title: str, content: str, lang: str
+) -> tuple[dict, int, int]:
+    """(term → positions merged body-last-wins, word_count, title_word_count)."""
+    analyzer = find_analyzer(lang)
+    title_map, twc = tokenize_stream(analyzer, title)
+    body_map, wc_body = tokenize_stream(analyzer, content)
+    merged = dict(title_map)
+    merged.update(body_map)  # body overwrites shared terms (A10)
+    return merged, twc + wc_body, twc
+
+
+def analyze_document(
+    title: str, content: str, lang: str, default_lang: str = ""
+) -> tuple[dict, int, int]:
+    """Full analysis incl. the empty-language n-gram dual-index fallback.
+
+    Returns (term → positions, word_count, title_word_count).
+    """
+    language = lang or default_lang
+    if language:
+        return _analyze_with_language(title, content, language)
+    tokens, wc, twc = _analyze_with_language(title, content, "bigram")
+    tokens2, wc2, twc2 = _analyze_with_language(title, content, "unigram")
+    for term, pos in tokens2.items():
+        tokens[term] = [p + wc for p in pos]
+    if wc == 0:
+        wc = wc2
+    if twc == 0:
+        twc = twc2
+    return tokens, wc, twc
+
+
+def split_title_body(text: str) -> tuple[str, str]:
+    """Extracted text → (title, body): title is the part before the first
+    blank line, body the remainder (FIXTURES.md §1; mirrors the reference's
+    separate title/body analysis, database.go:199-203)."""
+    head, sep, rest = text.partition("\n\n")
+    return (head, rest) if sep else (text, "")
+
+
+def analyze_query(search_word: str, lang: str, default_lang: str = "") -> dict:
+    """Query-string analysis (search.go:16-31): resolve language (byte-length
+    n-gram heuristic when empty), tokenize single-section."""
+    language = lang or default_lang
+    if not language:
+        language = "unigram" if len(search_word.encode("utf-8")) < 2 else "bigram"
+    analyzer = find_analyzer(language)
+    token_map, _ = tokenize_stream(analyzer, search_word)
+    return token_map
