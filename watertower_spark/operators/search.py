@@ -1,0 +1,301 @@
+"""Query engine over the sharded index.
+
+Re-expresses the reference's read path (search.go:16-111; SURVEY.md §3.1)
+as one DataFrame DAG:
+
+    query string ── analyze (driver-side, tiny) ─┐
+    postings (term ∈ query terms)                ├─ per-shard kernel
+    tags     (tag ∈ filter tags)  ── unified ────┤  (applyInPandas cogroup
+    doc_stats (per-shard doc lengths) ───────────┘   with doc_stats)
+        → (doc_id, score) → global sort [+ limit k] → doc_store join
+
+Semantics preserved from the reference:
+- conjunctive AND across every query term AND every tag (int.go:7-49,
+  search.go:86-95); a term with no postings anywhere ⇒ empty result
+  (database.go:516-521 Found=false ⇒ empty group ⇒ empty intersection);
+- phrase filter via relative-position algebra whenever the query has
+  tokens (search.go:114-168), including the uint32-wraparound behavior
+  of ``position - firstPos`` (positions below the first query position
+  wrap, never match);
+- parity scoring: TF-IDF ``(1+ln tf)·ln(N/df)`` summed over query terms,
+  sorted ASCENDING (the reference's observable contract,
+  search.go:105-111,170-189) with doc_id tie-break for determinism;
+- BM25 mode (the flagship scorer): ``idf·(k1+1)·tf/(tf+k1·(1-b+b·dl/avgdl))``
+  with idf = ln(1+(N-df+0.5)/(df+0.5)), score DESCENDING, doc_id
+  tie-break, per-shard top-k inside the kernel then global top-k.
+
+Scale notes: postings are read with a pushed-down term filter (files are
+sorted by term within shard partitions → row-group pruning); the kernel
+fans out per shard with no postings shuffle; the final materialization
+broadcasts the (small) result set against the shard-partitioned
+doc_store.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index_build import BM25_B, BM25_K1, load_manifest
+
+_WRAP = 1 << 32  # uint32 arithmetic in the reference's phrase algebra
+
+RESULT_SCHEMA = "doc_id long, shard int, score double"
+
+
+def _phrase_relative_positions(doc_positions: np.ndarray, query_positions: list) -> np.ndarray:
+    """search.go:141-160 re-expressed vectorized: relative start offsets of
+    the query-word pattern inside one doc's position set."""
+    qp0 = query_positions[0]
+    ok = np.ones(doc_positions.shape, dtype=bool)
+    for qi in query_positions[1:]:
+        want = (doc_positions - qp0 + qi) % _WRAP
+        ok &= np.isin(want, doc_positions, assume_unique=True)
+    return (doc_positions[ok] - qp0) % _WRAP
+
+
+def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
+                 avgdl: float, mode: str, k: int | None, n_tags: int = 0):
+    """Per-shard candidate generation + scoring kernel.
+
+    Input cogroup: (postings+tags rows for this shard, doc_stats rows).
+    """
+
+    def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        from watertower_spark.functions import codec
+
+        shard = int(key[0])
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "shard": pd.Series(dtype="int32"),
+                              "score": pd.Series(dtype="float64")})
+        if groups_pdf.empty:
+            return empty
+
+        # Decode each AND-group present in this shard: query terms and tags.
+        term_docs: dict = {}
+        term_tfs: dict = {}
+        term_rows: dict = {}
+        groups: list = []  # (name, doc_id array) for every AND constraint
+        n_term_groups = 0
+        n_tag_groups = 0
+        for row in groups_pdf.itertuples(index=False):
+            if row.kind == "term":
+                ids, tfs = codec.unpack_postings(
+                    {"doc_blob": row.doc_blob, "tf_blob": row.tf_blob,
+                     "block_off": row.block_off, "df": row.df}
+                )
+                term_docs[row.name] = ids
+                term_tfs[row.name] = tfs
+                term_rows[row.name] = row
+                groups.append((row.name, ids))
+                n_term_groups += 1
+            else:  # tag
+                ids = codec.decode_sorted(row.doc_blob)
+                groups.append(("#" + row.name, ids))
+                n_tag_groups += 1
+
+        # AND semantics: every query term and every filter tag must have a
+        # group row in this shard; anything absent here vetoes the shard.
+        if n_term_groups < len(query_tokens) or n_tag_groups < n_tags:
+            return empty
+
+        # smallest-first intersection (int.go:8-10)
+        groups.sort(key=lambda g: g[1].size)
+        cand = groups[0][1]
+        for _, ids in groups[1:]:
+            if cand.size == 0:
+                return empty
+            cand = cand[np.isin(cand, ids, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+
+        # Phrase filter (search.go:97-99: applied whenever the query has
+        # tokens), vectorized per term then intersected across terms.
+        if query_tokens:
+            # positions decoded lazily only for candidate docs
+            per_term_rel: list = []
+            for term, qp in query_tokens.items():
+                ids = term_docs[term]
+                row = term_rows[term]
+                pos_lists = codec.unpack_position_lists(row.pos_blob, int(row.df))
+                idx = np.searchsorted(ids, cand)
+                rel_per_doc = []
+                for j, c in zip(idx, cand):
+                    rel = _phrase_relative_positions(pos_lists[j], qp)
+                    rel_per_doc.append(rel)
+                per_term_rel.append(rel_per_doc)
+            survivors = []
+            for i in range(cand.size):
+                rel = per_term_rel[0][i]
+                for t in range(1, len(per_term_rel)):
+                    if rel.size == 0:
+                        break
+                    rel = rel[np.isin(rel, per_term_rel[t][i])]
+                if rel.size > 0:
+                    survivors.append(i)
+            cand = cand[np.array(survivors, dtype=int)] if survivors else cand[:0]
+            if cand.size == 0:
+                return empty
+
+        # Scoring
+        scores = np.zeros(cand.size, dtype="float64")
+        if query_tokens:
+            if mode == "bm25":
+                if not stats_pdf.empty:
+                    s = stats_pdf.sort_values("doc_id")
+                    sids = s["doc_id"].to_numpy()
+                    dl = s["wc"].to_numpy().astype("float64")[
+                        np.searchsorted(sids, cand)
+                    ]
+                else:
+                    dl = np.full(cand.size, avgdl, dtype="float64")
+            else:
+                dl = None
+            for term in query_tokens:
+                ids = term_docs[term]
+                tfs = term_tfs[term]
+                idx = np.searchsorted(ids, cand)
+                tf = tfs[idx].astype("float64")
+                df = df_global[term]
+                if mode == "bm25":
+                    idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+                    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+                    scores += idf * (BM25_K1 + 1.0) * tf / denom
+                else:
+                    # tfIdfScore (search.go:182-188); tf>0 always here
+                    scores += (1.0 + np.log(tf)) * math.log(doc_count / df)
+
+        out = pd.DataFrame({"doc_id": cand.astype("int64"),
+                            "shard": np.full(cand.size, shard, dtype="int32"),
+                            "score": scores})
+        if k is not None and mode == "bm25" and len(out) > k:
+            out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return out
+
+    return kernel
+
+
+class SearchEngine:
+    """Loads a built index and answers searches as DataFrames."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from watertower_spark.session import ensure_executors_can_import
+
+        ensure_executors_can_import(spark)
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+        self.doc_store = spark.read.parquet(f"{index_dir}/doc_store")
+        self.tags = (
+            spark.read.parquet(f"{index_dir}/tags") if self.manifest.get("has_tags") else None
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self,
+        search_word: str,
+        tags: list | None = None,
+        lang: str = "",
+        mode: str = "parity",
+        k: int | None = None,
+        materialize: bool = True,
+    ) -> DataFrame:
+        """Reference Search() semantics (mode='parity') or BM25 top-k
+        (mode='bm25').  Returns a DataFrame ordered by the mode's contract.
+        """
+        from watertower_spark.analyzers import analyze_query
+
+        spark = self.spark
+        default_lang = self.manifest.get("default_lang") or ""
+        analyzer_lang = self.manifest.get("analyzer_lang")
+        query_tokens = analyze_query(
+            search_word, analyzer_lang or lang, default_lang
+        ) if search_word else {}
+        tags = list(tags or [])
+
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        if not query_tokens and not tags:
+            return self._materialize(empty, mode) if materialize else empty
+
+        terms = sorted(query_tokens)
+        sel = self.postings.where(F.col("term").isin(terms)) if terms else None
+
+        # global df per term (tiny agg over filtered rows)
+        df_global: dict = {}
+        if sel is not None:
+            for r in sel.groupBy("term").agg(F.sum("df").alias("df")).collect():
+                df_global[r["term"]] = int(r["df"])
+            if any(t not in df_global for t in terms):
+                # some term matches nothing anywhere → AND result is empty
+                return self._materialize(empty, mode) if materialize else empty
+
+        parts = []
+        if sel is not None:
+            parts.append(
+                sel.select(
+                    F.lit("term").alias("kind"), F.col("term").alias("name"),
+                    "shard", "df", "doc_blob", "tf_blob", "pos_blob", "block_off",
+                )
+            )
+        if tags:
+            if self.tags is None:
+                return self._materialize(empty, mode) if materialize else empty
+            tag_sel = self.tags.where(F.col("tag").isin(tags))
+            found_tags = [r["tag"] for r in tag_sel.select("tag").distinct().collect()]
+            if len(found_tags) < len(set(tags)):
+                # a tag with no documents anywhere → empty AND result
+                return self._materialize(empty, mode) if materialize else empty
+            parts.append(
+                tag_sel.select(
+                    F.lit("tag").alias("kind"), F.col("tag").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    F.lit(None).cast("binary").alias("tf_blob"),
+                    F.lit(None).cast("binary").alias("pos_blob"),
+                    F.lit(None).cast("binary").alias("block_off"),
+                )
+            )
+        groups_df = parts[0]
+        for p in parts[1:]:
+            groups_df = groups_df.unionByName(p)
+
+        # per-tag global presence already checked; per-shard AND happens in
+        # the kernel.  Tags present globally but absent in a shard must veto
+        # that shard: pass expected tag count via closure.
+        kernel = _make_kernel(
+            query_tokens, df_global, int(self.manifest["doc_count"]),
+            float(self.manifest["avgdl"]), mode, k, n_tags=len(set(tags)),
+        )
+        results = (
+            groups_df.groupBy("shard")
+            .cogroup(self.doc_stats.groupBy("shard"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+
+        if mode == "bm25":
+            results = results.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            if k is not None:
+                results = results.limit(k)
+        else:
+            results = results.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+        return self._materialize(results, mode) if materialize else results
+
+    def _materialize(self, results: DataFrame, mode: str) -> DataFrame:
+        """Join the (small) result set to doc_store — Q9/materialization
+        (database.go:540-558).  Broadcasting the result side keeps the big
+        table shuffle-free; the shard column prunes doc_store partitions."""
+        order = (
+            [F.col("score").desc(), F.col("doc_id").asc()]
+            if mode == "bm25"
+            else [F.col("score").asc(), F.col("doc_id").asc()]
+        )
+        return (
+            self.doc_store.join(F.broadcast(results), ["doc_id", "shard"])
+            .select("doc_id", "url", "score", "text", "lang")
+            .orderBy(*order)
+        )

@@ -1,0 +1,54 @@
+"""SparkSession helpers.
+
+``ensure_executors_can_import`` ships this package to executor Python
+workers via ``sparkContext.addPyFile`` so UDF kernels can import it no
+matter where the driver process started from.  ``spark-submit
+--py-files watertower_spark.zip`` achieves the same for cluster
+deployments (see build_index.py / query.py entrypoints); this helper
+makes library use and local notebooks just work.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_CONTEXTS: set = set()
+
+
+def ensure_executors_can_import(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    ctx_id = sc.applicationId
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), f"watertower_spark_pyfiles_{os.getpid()}")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="watertower_spark"
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(ctx_id)
+
+
+def get_spark(
+    cpus: int | str = "*",
+    shuffle_partitions: int | None = None,
+    app_name: str = "watertower-spark",
+) -> SparkSession:
+    """Local-mode session with the engine's recommended defaults: AQE on
+    (runtime re-plan + skew-join), Arrow on (vectorized UDF transfer)."""
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    ensure_executors_can_import(spark)
+    return spark
