@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the inverted index over the sf0.001
+                 corpus (real analyzer dispatch) and run a BM25 top-10.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data-pipeline extras), each (spark, sf_dir) →
+                 DataFrame.
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalent per query (omitted
+                 for hash-function-dependent ops → rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index the sf0.001 corpus, BM25 top-10 for 'data table'."""
+    from watertower_spark.gate import _gate_index
+    from watertower_spark.operators.search import SearchEngine
+
+    idx = _gate_index(spark, "/root/testdata/sf0.001")
+    eng = SearchEngine(spark, idx)
+    return eng.search("data table", None, mode="bm25", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from watertower_spark.gate import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from watertower_spark.gate import QUERIES
+
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ...,
+        "docs_per_sec": ..., "p50_query_sec": ...}
+
+Headline = full index build (real analyzer dispatch, Porter2 stemming
+for en rows) + the reference-shaped query set (parity TF-IDF, phrase,
+tag filter, BM25 top-k) + one dedup pass and one embedding top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from watertower_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=cpus, app_name="watertower-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from watertower_spark.gate import tokens
+    from watertower_spark.operators.dedup import minhash_lsh_pairs
+    from watertower_spark.operators.index_build import build_index
+    from watertower_spark.operators.search import SearchEngine
+    from watertower_spark.operators.similarity import cosine_topk_arrow
+    from watertower_spark.sources.corpus import adapt_driver_documents
+
+    idx = tempfile.mkdtemp(prefix="wt_bench_idx_")
+    timings: dict = {}
+    t_total0 = time.time()
+
+    # ---- build ----
+    docs, tags = adapt_driver_documents(spark, sf_dir)
+    n_docs = docs.count()
+    t0 = time.time()
+    manifest = build_index(
+        docs, tags, idx,
+        docs_per_shard=max(256, n_docs // (2 * cpus) or 256),
+    )
+    build_sec = time.time() - t0
+    timings["build_index"] = round(build_sec, 3)
+
+    eng = SearchEngine(spark, idx)
+
+    def timed(name, fn, runs=3):
+        vals = []
+        for _ in range(runs):
+            t = time.time()
+            fn()
+            vals.append(time.time() - t)
+        timings[name] = round(statistics.median(vals), 3)
+
+    timed("q_parity_word", lambda: eng.search("data", None).collect())
+    timed("q_parity_phrase", lambda: eng.search("hash join", None).collect())
+    timed("q_bm25_top10", lambda: eng.search("data", None, mode="bm25", k=10).collect())
+    timed("q_bm25_phrase_top10", lambda: eng.search("merge sort", None, mode="bm25", k=10).collect())
+    timed("q_tag_filter", lambda: eng.search("scan", ["src3"], mode="bm25", k=10).collect())
+
+    tok = tokens(spark, sf_dir)
+    timed("q_minhash_dedup", lambda: minhash_lsh_pairs(tok, threshold=0.2).count(), runs=1)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where("vec_id = 0").collect()[0]["embedding"]
+    timed("q_embedding_top10", lambda: cosine_topk_arrow(emb, list(qvec), 10).collect())
+
+    total = time.time() - t_total0
+    query_times = [v for k, v in timings.items() if k.startswith("q_")]
+    out = {
+        "metric": "index-build + reference query set wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "p50_query_sec": round(statistics.median(query_times), 3),
+        "cpus": cpus,
+        "n_shards": manifest["n_shards"],
+    }
+    shutil.rmtree(idx, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

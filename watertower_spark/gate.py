@@ -1,0 +1,556 @@
+"""Driver correctness-gate queries: Spark implementation + DuckDB oracle.
+
+Each entry in QUERIES is ``name -> (spark_fn, oracle_sql_or_None)``.
+The driver runs the Spark DataFrame and the oracle SQL side by side at
+sf=0.01 and compares row count + schema + order-insensitive value hash,
+so:
+
+- column NAMES and TYPES must match exactly between the two sides;
+- every float is rounded identically on both sides;
+- the tokenizer used here is the SQL-expressible 'simple' analyzer
+  (whitespace split → drop empties → position → rstrip '.,:"' → lower).
+  The full English analyzer (Porter2 etc.) is pinned by pytest goldens
+  instead — stemming is not expressible in SQL.
+
+Relational queries stay entirely JVM-side (whole-stage codegen, zero
+Python).  The engine_* queries drive the real index-build + search
+kernels and are cross-checked against equivalent SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# --------------------------------------------------------------- tokenizer
+
+_TRIM_RE = '[.,:"]+$'
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, term) — the simple analyzer, relationally."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    return docs.select(
+        "doc_id", F.posexplode(ws).alias("pos", "raw")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower(F.regexp_replace("raw", _TRIM_RE, "")).alias("term"),
+    )
+
+
+# DuckDB CTE computing the identical (doc_id, pos, term) stream.
+TOK_CTE = r"""
+WITH __ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         p - 1 AS pos,
+         lower(regexp_replace(w, '[.,:"]+$', '')) AS term
+  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p FROM __ws)
+)
+"""
+
+
+# ------------------------------------------------------------- relational
+
+def q_doc_id_map(spark, sf_dir):
+    """Distributed dense doc-id assignment vs SQL row_number (I2)."""
+    from watertower_spark.operators.index_build import assign_doc_ids
+    from watertower_spark.sources.corpus import adapt_driver_documents
+
+    docs, _ = adapt_driver_documents(spark, sf_dir)
+    return assign_doc_ids(docs, num_ranges=16).select(
+        "url", F.col("doc_id").alias("assigned_id")
+    )
+
+
+ORACLE_DOC_ID_MAP = """
+SELECT printf('doc://%012d', doc_id) AS url,
+       row_number() OVER (ORDER BY printf('doc://%012d', doc_id)) AS assigned_id
+FROM documents
+"""
+
+
+def q_term_stats(spark, sf_dir):
+    """Posting-list stats: df (docs containing term) + cf (occurrences)."""
+    t = tokens(spark, sf_dir)
+    return t.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
+    )
+
+
+ORACLE_TERM_STATS = TOK_CTE + """
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
+"""
+
+
+def q_doc_stats(spark, sf_dir):
+    t = tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("wc"), F.countDistinct("term").alias("udc")
+    )
+
+
+ORACLE_DOC_STATS = TOK_CTE + """
+SELECT doc_id, count(*) AS wc, count(DISTINCT term) AS udc FROM tok GROUP BY doc_id
+"""
+
+
+_AND_TERMS = ("data", "table", "join")
+
+
+def q_and_search(spark, sf_dir):
+    """Conjunctive term intersection (Q4) relationally."""
+    t = tokens(spark, sf_dir)
+    return (
+        t.where(F.col("term").isin(*_AND_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(_AND_TERMS))
+        .select("doc_id")
+    )
+
+
+ORACLE_AND_SEARCH = TOK_CTE + f"""
+SELECT doc_id FROM tok WHERE term IN {_AND_TERMS!r}
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(_AND_TERMS)}
+"""
+
+
+def q_phrase_search(spark, sf_dir):
+    """Adjacent phrase 'hash join' via positions (Q5) relationally."""
+    t = tokens(spark, sf_dir)
+    a = t.where(F.col("term") == "hash").alias("a")
+    b = t.where(F.col("term") == "join").alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+ORACLE_PHRASE_SEARCH = TOK_CTE + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'hash' AND b.term = 'join'
+"""
+
+
+_SCORE_TERMS = ("data", "table")
+
+
+def _tf_df(spark, sf_dir, terms):
+    t = tokens(spark, sf_dir)
+    tf = (
+        t.where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return tf, df, n
+
+
+def q_tfidf_search(spark, sf_dir):
+    """AND query scored with the reference formula (1+ln tf)·ln(N/df) (Q6)."""
+    tf, df, n = _tf_df(spark, sf_dir, _SCORE_TERMS)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("s", (F.lit(1.0) + F.log("tf")) * F.log(F.lit(float(n)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"), F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(_SCORE_TERMS))
+        .select("doc_id", "score")
+    )
+    return scored
+
+
+ORACLE_TFIDF_SEARCH = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {_SCORE_TERMS!r} GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, round(sum((1.0 + ln(tf)) * ln(n.n / df.df)), 6) AS score
+FROM tf JOIN df USING (term), n
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(_SCORE_TERMS)}
+"""
+
+
+_BM25_TERMS = ("filter", "scan")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """AND query, BM25(k1=1.2,b=0.75), top-10 by rounded score (Q6/Q8)."""
+    tf, df, n = _tf_df(spark, sf_dir, _BM25_TERMS)
+    t = tokens(spark, sf_dir)
+    wc = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = wc.agg(F.avg("dl")).collect()[0][0]
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(wc, "doc_id")
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf") * (BM25_K1 + 1.0) * F.col("tf")
+            / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / float(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"), F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(_BM25_TERMS))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    return scored
+
+
+ORACLE_BM25_TOPK = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), wc AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(_BM25_TERMS)}
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_tag_index(spark, sf_dir):
+    """Tag posting sets (I8/Q12): source acts as the tag."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(F.col("source").alias("tag")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_TAG_INDEX = """
+SELECT source AS tag, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY source
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact content dedup via md5 groups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0))).cast("long").alias("n_bpe"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features: type-token ratio, mean token length,
+    numeric-token ratio (training-data pipeline text analysis)."""
+    t = tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.round(F.countDistinct("term") / F.count("*"), 4).alias("ttr"),
+        F.round(F.avg(F.length("term")), 4).alias("mean_len"),
+        F.round(F.avg(F.col("term").rlike("^[0-9]+$").cast("double")), 4).alias("num_ratio"),
+    )
+
+
+ORACLE_TEXT_QUALITY = TOK_CTE + """
+SELECT doc_id,
+       round(count(DISTINCT term) / count(*), 4) AS ttr,
+       round(avg(length(term)), 4) AS mean_len,
+       round(avg(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1.0 ELSE 0.0 END), 4) AS num_ratio
+FROM tok GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (n-gram/stopword based), deterministic rule."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lowered = F.lower("text")
+    en_hits = F.size(F.regexp_extract_all(lowered, F.lit("\\b(the|and|of|in|to)\\b"), F.lit(0)))
+    cjk = F.lower("text").rlike("[\\u4e00-\\u9fff]")
+    return docs.select(
+        "doc_id",
+        F.when(cjk, "zh").when(en_hits > 0, "en").otherwise("und").alias("guessed_lang"),
+    )
+
+
+ORACLE_LANG_ID = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|in|to)\b')) > 0 THEN 'en'
+            ELSE 'und' END AS guessed_lang
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 100."""
+    from pyspark.sql import Window
+
+    t = tokens(spark, sf_dir).where(F.col("doc_id") < 100)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        t.withColumn("t2", F.lead("term", 1).over(w))
+        .withColumn("t3", F.lead("term", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= 0.05)
+        .select("da", "db", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = TOK_CTE + """
+, sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM tok WHERE doc_id < 100
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+"""
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
+    baseline), computed in double precision on both sides."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pe = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    q = pe.where(F.col("vec_id") == 0).select("i", F.col("x").cast("double").alias("y"))
+    return (
+        pe.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double") * F.col("y"))
+                / (F.sqrt(F.sum(F.col("x").cast("double") * F.col("x"))) * F.sqrt(F.sum(F.col("y") * F.col("y")))),
+                4,
+            ).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_EMBEDDING_KNN = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id,
+       round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cos
+FROM pairs GROUP BY vec_id
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ----------------------------------------------------------- engine-driven
+
+_GATE_INDEX_CACHE: dict = {}
+
+
+def _gate_index(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) a real index over the adapted driver docs
+    with the SQL-expressible analyzer, so engine results are oracle-checkable."""
+    key = os.path.abspath(sf_dir)
+    if key in _GATE_INDEX_CACHE:
+        return _GATE_INDEX_CACHE[key]
+    from watertower_spark.operators.index_build import build_index, load_manifest
+    from watertower_spark.sources.corpus import adapt_driver_documents
+
+    idx = os.path.join(
+        tempfile.gettempdir(), "wt_gate_idx_" + key.strip("/").replace("/", "_")
+    )
+    try:
+        load_manifest(idx)  # reuse across processes: build is deterministic
+    except FileNotFoundError:
+        docs, tags = adapt_driver_documents(spark, sf_dir)
+        build_index(docs, tags, idx, analyzer_lang="simple", docs_per_shard=256)
+    _GATE_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _engine(spark, sf_dir):
+    from watertower_spark.operators.search import SearchEngine
+
+    return SearchEngine(spark, _gate_index(spark, sf_dir))
+
+
+def _url_to_doc_id(col):
+    return F.substring(col, 7, 12).cast("long").alias("doc_id")
+
+
+def q_engine_tfidf(spark, sf_dir):
+    """FULL engine (build + per-shard kernel) parity search, vs SQL TF-IDF.
+
+    Query 'data table' — AND + phrase filter is involved ('data table'
+    must ALSO appear adjacent per reference semantics, search.go:97-99),
+    so the oracle includes the adjacency constraint.
+    """
+    eng = _engine(spark, sf_dir)
+    res = eng.search("data table", None, mode="parity")
+    return res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+
+
+ORACLE_ENGINE_TFIDF = TOK_CTE + """
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('data', 'table') GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+adjacent AS (
+  SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'data' AND b.term = 'table'
+)
+SELECT doc_id, round(sum((1.0 + ln(tf)) * ln(n.n / df.df)), 6) AS score
+FROM tf JOIN df USING (term), n
+WHERE doc_id IN (SELECT doc_id FROM adjacent)
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+"""
+
+
+def q_engine_bm25(spark, sf_dir):
+    """Engine BM25 over a single-term query (no phrase constraint), top-10
+    by rounded score, vs the closed-form SQL BM25."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("merge", None, mode="bm25")
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_BM25 = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_engine_phrase(spark, sf_dir):
+    """Engine phrase verification kernel vs SQL adjacency."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("hash join", None, mode="parity")
+    return res.select(_url_to_doc_id(F.col("url"))).distinct()
+
+
+ORACLE_ENGINE_PHRASE = TOK_CTE + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'hash' AND b.term = 'join'
+"""
+
+
+# --------------------------------------------------- non-SQL-expressible
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (verified by exact Jaccard).
+    Uses xxhash64 — not SQL-portable, so rows-only check."""
+    from watertower_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(tokens(spark, sf_dir), n_hashes=32, bands=8, threshold=0.05)
+
+
+def q_simhash_codes(spark, sf_dir):
+    """64-bit SimHash fingerprints per doc (rows-only check)."""
+    from watertower_spark.operators.dedup import simhash
+
+    return simhash(tokens(spark, sf_dir))
+
+
+QUERIES: dict = {
+    "doc_id_map": (q_doc_id_map, ORACLE_DOC_ID_MAP),
+    "term_stats": (q_term_stats, ORACLE_TERM_STATS),
+    "doc_stats": (q_doc_stats, ORACLE_DOC_STATS),
+    "and_search": (q_and_search, ORACLE_AND_SEARCH),
+    "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
+    "tfidf_search": (q_tfidf_search, ORACLE_TFIDF_SEARCH),
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
+    "tag_index": (q_tag_index, ORACLE_TAG_INDEX),
+    "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
+    "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
+    "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
+    "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_codes": (q_simhash_codes, None),
+}

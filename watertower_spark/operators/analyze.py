@@ -31,14 +31,31 @@ def analyze_to_terms(docs_with_ids, default_lang: str = "", analyzer_lang: str |
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the UDF: executed on executors
-        from watertower_spark.analyzers import analyze_document, split_title_body
+        from watertower_spark.analyzers import (
+            analyze_document,
+            find_analyzer,
+            split_title_body,
+        )
         from watertower_spark.functions.codec import encode_sorted
+
+        def resolve(lang: str) -> str:
+            # A real web corpus carries languages with no registered
+            # analyzer; the reference errors there (nlp/tokenizer.go:19-25),
+            # which is unusable at CC scale — we degrade to the whitespace
+            # analyzer instead (divergence documented in SURVEY §2.2/A1).
+            if not lang:
+                return lang
+            try:
+                find_analyzer(lang)
+                return lang
+            except KeyError:
+                return "simple"
 
         for pdf in batches:
             out_doc, out_term, out_tf, out_pos, out_wc, out_twc = [], [], [], [], [], []
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
                 title, body = split_title_body(text or "")
-                use_lang = analyzer_lang if analyzer_lang is not None else (lang or "")
+                use_lang = analyzer_lang if analyzer_lang is not None else resolve(lang or "")
                 tokens, wc, twc = analyze_document(title, body, use_lang, default_lang)
                 for term, positions in tokens.items():
                     out_doc.append(doc_id)

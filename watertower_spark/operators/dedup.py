@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+All operate on the tokenized (doc_id, pos, term) stream or raw documents:
+
+- exact_duplicates     — content-hash groupBy (one shuffle)
+- minhash_lsh_pairs    — shingle → MinHash signature → LSH banding →
+                         bucket join → exact-Jaccard verification
+- simhash              — 64-bit SimHash fingerprint per doc
+- simhash_near_pairs   — Hamming-distance pairs via 4-segment pigeonhole
+                         blocking (at most one shuffle per segment)
+
+Scale notes: every candidate-generation step is a groupBy/join on a
+bounded key (band hash, hash segment) — never a full cross join.  Skewed
+buckets (e.g. boilerplate shingles) are capped via a per-bucket size
+limit before the pair explosion, which is the standard guard at CC scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Base-hash domain 2^32 with coefficients < 2^30 keeps every affine-map
+# product under 2^62 — no long overflow (Spark 4 runs ANSI mode: an
+# overflow would raise, not wrap).
+HASH_PRIME = 4294967311  # smallest prime > 2^32
+_COEF_MAX = 1 << 30
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, keeper) for every distinct content hash."""
+    return docs.groupBy(F.md5(F.encode(text_col, "utf-8")).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def _shingles(tokens: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc from (doc_id, pos, term)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    sh = tokens.select("doc_id", *cols)
+    last = f"t{k - 1}"
+    return (
+        sh.where(F.col(last).isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", *[f"t{i}" for i in range(1, k)]).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(tokens: DataFrame, n_hashes: int = 32, k: int = 3, seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<long>): MinHash over k-token shingles.
+
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod (2^61-1) — one base hash per
+    shingle, n permutations as cheap affine maps, all JVM-side columnar.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    a = [rnd.randrange(1, _COEF_MAX) for _ in range(n_hashes)]
+    b = [rnd.randrange(0, _COEF_MAX) for _ in range(n_hashes)]
+    sh = _shingles(tokens, k).withColumn(
+        "hx", F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME))
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.pmod(F.lit(a[i]) * F.col("hx"), F.lit(HASH_PRIME)) + F.lit(b[i]),
+                F.lit(HASH_PRIME),
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    tokens: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs (da, db, jaccard) with jaccard >= threshold.
+
+    LSH banding generates candidates (same band-hash bucket); candidates
+    are verified with EXACT shingle Jaccard, so threshold is exact and
+    LSH only affects recall.  Buckets larger than max_bucket (degenerate
+    boilerplate) are dropped with a count, not exploded.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(tokens, n_hashes, k, seed)
+    band_cols = [
+        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    cand = None
+    for i in range(bands):
+        bi = banded.select("doc_id", F.col(f"b{i}").alias("bucket"))
+        sized = bi.withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
+        bi = sized.where(F.col("bsz") <= max_bucket).drop("bsz")
+        p = (
+            bi.alias("x")
+            .join(bi.alias("y"), "bucket")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+
+    sh = _shingles(tokens, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["da", "db"])  # LSH candidates only
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def simhash(tokens: DataFrame, n_bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long): weighted majority of per-term hash bits.
+
+    Bit-parallel columnar formulation: per doc and bit position, sum
+    +w/-w by term frequency, take sign.  Expressed as 64 conditional
+    sums over xxhash64(term) — stays in whole-stage codegen.
+    """
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("w"))
+    tf = tf.withColumn("h", F.xxhash64("term"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    code = F.lit(0).cast("long")
+    for i in range(n_bits):
+        code = code.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", code.alias("simhash"))
+
+
+def simhash_near_pairs(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via pigeonhole blocking:
+    split 64 bits into (max_hamming+1) segments — any near pair collides
+    on at least one full segment, so candidate generation is a join per
+    segment, never a cross join."""
+    codes = simhash(tokens)
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+    cand = None
+    for s in range(n_seg):
+        seg = F.shiftrightunsigned("simhash", s * seg_bits).bitwiseAND(
+            F.lit((1 << seg_bits) - 1)
+        ).alias("seg")
+        cs = codes.select("doc_id", "simhash", seg)
+        p = (
+            cs.alias("x")
+            .join(cs.alias("y"), "seg")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("da"),
+                F.col("y.doc_id").alias("db"),
+                F.col("x.simhash").alias("ha"),
+                F.col("y.simhash").alias("hb"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("da", "db", "hamming")
+    )

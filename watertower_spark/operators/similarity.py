@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_knn     — exact cosine top-k, fully relational (posexplode
+                        + broadcast query + groupBy) → whole-stage codegen
+- cosine_topk_arrow   — exact top-k via a vectorized Arrow kernel (one
+                        numpy matmul per batch) — the fast single-query
+                        path at scale
+- lsh_bucketed_knn    — random-hyperplane LSH buckets as the approximate
+                        scale path: candidates share >= 1 of n_tables
+                        bucket codes; exact cosine re-rank of candidates
+
+Scale: brute force is O(N·d) per query — fine fanned out over
+partitions for one query, wrong for query batches; the LSH path bounds
+the candidate set per query by bucket size, turning top-k into a
+bucket-join + rerank (the IVF-style pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def brute_force_knn(emb: DataFrame, query_vec: list, k: int = 10,
+                    exclude_vec_id: int | None = None) -> DataFrame:
+    """Exact cosine top-k, relationally (no Python on the hot path)."""
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+    pe = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    if exclude_vec_id is not None:
+        pe = pe.where(F.col("vec_id") != exclude_vec_id)
+    qdf = pe.sparkSession.createDataFrame(list(enumerate(q)), "i int, y double")
+    return (
+        pe.join(F.broadcast(qdf), "i")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double") * F.col("y"))
+                / (F.sqrt(F.sum(F.col("x").cast("double") * F.col("x"))) * F.lit(qn))
+            ).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_arrow(emb: DataFrame, query_vec: list, k: int = 10) -> DataFrame:
+    """Exact top-k with a per-partition numpy matmul kernel + global merge."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m @ q) / norms
+            top = np.argsort(-cos, kind="stable")[:k]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()[top], "cos": cos[top]})
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(kernel, "vec_id long, cos double")
+    return partial.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def lsh_bucket_codes(emb: DataFrame, n_planes: int = 12, n_tables: int = 4,
+                     dim: int = 64, seed: int = 11) -> DataFrame:
+    """(vec_id, table, bucket): random-hyperplane signatures per table."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                bits = (m @ planes[t].T) > 0  # (n, n_planes)
+                codes = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+                out_id.extend(pdf["vec_id"].tolist())
+                out_t.extend([t] * len(pdf))
+                out_b.extend(codes.tolist())
+            yield pd.DataFrame({"vec_id": out_id, "table": out_t, "bucket": out_b})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, table int, bucket long"
+    )
+
+
+def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
+                     n_planes: int = 12, n_tables: int = 4, seed: int = 11) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any table bucket
+    with the query; exact cosine re-rank of candidates only."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = q.shape[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    q_buckets = [
+        (t, int(((planes[t] @ q > 0) * (1 << np.arange(n_planes))).sum()))
+        for t in range(n_tables)
+    ]
+    codes = lsh_bucket_codes(emb, n_planes, n_tables, dim, seed)
+    qb = emb.sparkSession.createDataFrame(q_buckets, "table int, bucket long")
+    cand_ids = codes.join(F.broadcast(qb), ["table", "bucket"]).select("vec_id").distinct()
+    cand = emb.join(cand_ids, "vec_id")
+    return cosine_topk_arrow(cand, query_vec.tolist() if hasattr(query_vec, "tolist") else query_vec, k)
