@@ -51,6 +51,7 @@ def main() -> None:
     t0 = time.time()
     manifest = build_index(
         docs, tags, idx,
+        default_lang="en",  # Option.DefaultLanguage: queries analyze as en
         docs_per_shard=max(256, n_docs // (2 * cpus) or 256),
     )
     build_sec = time.time() - t0

@@ -1,0 +1,137 @@
+"""Incremental index maintenance: append / remove / upsert / resume /
+streaming ingest — the batch re-expression of the reference's
+PostDocument/RemoveDocument paths (database.go:23-156)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from watertower_spark.operators.index_build import build_index, load_manifest
+from watertower_spark.operators.maintenance import (
+    append_documents,
+    remove_documents,
+    resume_build,
+    upsert_documents,
+)
+from watertower_spark.operators.search import SearchEngine
+from watertower_spark.sources import corpus
+
+
+def _mkdocs(spark, rows):
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA,
+    )
+    tags = spark.createDataFrame([(r["url"], r["tags"]) for r in rows], schema=corpus.TAG_SCHEMA)
+    return docs, tags
+
+
+@pytest.fixture()
+def base_index(spark, tmp_index_root, request):
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows[:5])
+    idx = f"{tmp_index_root}/maint_{request.node.name}"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=3)
+    return idx, rows
+
+
+def test_append_documents(spark, base_index):
+    idx, rows = base_index
+    m0 = load_manifest(idx)
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    m1 = append_documents(spark, idx, docs2, tags2)
+    assert m1["doc_count"] == 7
+    eng = SearchEngine(spark, idx)
+    # '201 Created' arrives in the appended batch and must be searchable
+    res = eng.search("noncommittal", None, "en").collect()
+    assert {r["url"] for r in res} == {"fixture://search/202 Accepted"}
+    # docs from the original build still searchable, N updated
+    res = eng.search("post", None, "en").collect()
+    assert {r["url"] for r in res} == {
+        "fixture://search/200 OK", "fixture://search/201 Created",
+    }
+    # appending the same urls again is a no-op (doc_map anti-join)
+    m2 = append_documents(spark, idx, docs2, tags2)
+    assert m2["doc_count"] == 7
+
+
+def test_remove_documents(spark, base_index):
+    idx, rows = base_index
+    victims = spark.createDataFrame(
+        [("fixture://search/100 Continue",)], "url string"
+    )
+    m = remove_documents(spark, idx, victims)
+    assert m["doc_count"] == 4
+    eng = SearchEngine(spark, idx)
+    assert eng.search("interim", None, "en").count() == 0
+    urls = {r["url"] for r in eng.search("", ["NoBody"], "en").collect()}
+    assert "fixture://search/100 Continue" not in urls
+    assert len(urls) == 3
+
+
+def test_upsert_documents(spark, base_index):
+    idx, rows = base_index
+    changed = dict(rows[0])
+    changed = {**rows[0], "text": "100 Continue\n\nxylophone zebra content."}
+    docs, tags = _mkdocs(spark, [changed])
+    m = upsert_documents(spark, idx, docs, tags)
+    assert m["doc_count"] == 5  # same url → same doc, no growth
+    eng = SearchEngine(spark, idx)
+    assert eng.search("xylophone", None, "en").count() == 1
+    assert eng.search("interim", None, "en").count() == 0  # old body gone
+    # doc kept its tags through the rewrite
+    assert "fixture://search/100 Continue" in {
+        r["url"] for r in eng.search("", ["NoBody"], "en").collect()
+    }
+
+
+def test_resume_build(spark, tmp_index_root):
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows)
+    idx = f"{tmp_index_root}/resume"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=2)
+    # simulate a crash mid-postings-phase: delete two shard partitions and
+    # reset the manifest phase
+    m = load_manifest(idx)
+    import json
+
+    for s in (0, 2):
+        shutil.rmtree(f"{idx}/postings/shard={s}")
+    m["phase"] = "docs_done"
+    with open(f"{idx}/_meta/manifest.json", "w") as f:
+        json.dump(m, f)
+    m2 = resume_build(spark, docs, tags, idx)
+    assert m2["phase"] == "committed"
+    eng = SearchEngine(spark, idx)
+    assert eng.search("post", None, "en").count() == 2
+    # resuming a committed index is a no-op
+    m3 = resume_build(spark, docs, tags, idx)
+    assert m3["phase"] == "committed"
+
+
+def test_streaming_ingest(spark, tmp_index_root):
+    from watertower_spark.streaming.incremental import ingest_available
+
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows[:4])
+    idx = f"{tmp_index_root}/stream_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=4)
+
+    stream_dir = f"{tmp_index_root}/stream_in"
+    ckpt = f"{tmp_index_root}/stream_ckpt"
+    docs2, _ = _mkdocs(spark, rows[4:])
+    docs2.write.mode("overwrite").parquet(stream_dir)
+
+    n = ingest_available(spark, stream_dir, idx, ckpt)
+    assert n >= 1
+    assert load_manifest(idx)["doc_count"] == 7
+    eng = SearchEngine(spark, idx)
+    assert eng.search("noncommittal", None, "en").count() == 1
+    # drain again: checkpoint + anti-join → no duplicates
+    n2 = ingest_available(spark, stream_dir, idx, ckpt)
+    assert load_manifest(idx)["doc_count"] == 7

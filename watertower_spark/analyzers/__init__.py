@@ -114,7 +114,9 @@ def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:
             positions.setdefault(w, []).append(idx)
             idx += 1
     else:
-        cache: dict = {}
+        # worker-lifetime stem cache: corpora follow Zipf, so the hit
+        # rate approaches 1 after a few documents per executor
+        cache = _STEM_CACHES.setdefault(analyzer.name, {})
         for w in analyzer.splitter(content):
             if w in stop:
                 continue
@@ -125,6 +127,9 @@ def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:
             positions.setdefault(t, []).append(idx)
             idx += 1
     return positions, idx
+
+
+_STEM_CACHES: dict = {}
 
 
 def _analyze_with_language(

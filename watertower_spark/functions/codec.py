@@ -24,8 +24,23 @@ _MAX_VARINT_BYTES = 10
 
 # ------------------------------------------------------------------ varint
 
-def encode_varint(values: np.ndarray) -> bytes:
+def _encode_varint_small(values) -> bytes:
+    """Pure-Python fast path: beats numpy setup cost for tiny arrays
+    (positions lists are typically 1-5 elements)."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def encode_varint(values) -> bytes:
     """LEB128-encode a non-negative uint array (vectorized)."""
+    if len(values) <= 32:
+        return _encode_varint_small(values)
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
@@ -69,11 +84,32 @@ def decode_varint(buf: bytes, out_dtype=np.uint64) -> np.ndarray:
 def encode_sorted(values) -> bytes:
     """Delta+varint for a sorted non-negative integer sequence (compints
     semantics: first element absolute, then gaps)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
+    n = len(values)
+    if n == 0:
         return b""
+    if n <= 32:
+        prev = 0
+        out = bytearray()
+        for x in values:
+            x = int(x)
+            d = x - prev
+            prev = x
+            while d >= 0x80:
+                out.append((d & 0x7F) | 0x80)
+                d >>= 7
+            out.append(d)
+        return bytes(out)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
     deltas = np.diff(v, prepend=np.uint64(0))
     return encode_varint(deltas)
+
+
+def encode_position_list(positions) -> bytes:
+    """Self-delimiting per-posting positions: varint(count) + delta gaps.
+    Concatenations of these are exactly the pos_blob format consumed by
+    ``unpack_position_lists`` — so the index builder can join them
+    byte-wise with no decode round trip."""
+    return _encode_varint_small([len(positions)]) + encode_sorted(positions)
 
 
 def decode_sorted(buf: bytes, out_dtype=np.int64) -> np.ndarray:

@@ -36,7 +36,7 @@ def analyze_to_terms(docs_with_ids, default_lang: str = "", analyzer_lang: str |
             find_analyzer,
             split_title_body,
         )
-        from watertower_spark.functions.codec import encode_sorted
+        from watertower_spark.functions.codec import encode_position_list
 
         def resolve(lang: str) -> str:
             # A real web corpus carries languages with no registered
@@ -61,7 +61,9 @@ def analyze_to_terms(docs_with_ids, default_lang: str = "", analyzer_lang: str |
                     out_doc.append(doc_id)
                     out_term.append(term)
                     out_tf.append(len(positions))
-                    out_pos.append(encode_sorted(positions))
+                    # self-delimiting blob: the pack kernel concatenates
+                    # these byte-wise, no decode round trip
+                    out_pos.append(encode_position_list(positions))
                     out_wc.append(wc)
                     out_twc.append(twc)
             yield pd.DataFrame(

@@ -124,17 +124,18 @@ def _pack_postings_kernel(avgdl: float):
 
         out = []
         if not pdf.empty:
+            # one global sort instead of a per-group sort_values
+            pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
             for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
-                g = g.sort_values("doc_id", kind="mergesort")
                 doc_ids = g["doc_id"].to_numpy()
                 tfs = g["tf"].to_numpy().astype("int64")
                 dls = g["wc"].to_numpy().astype("float64")
                 # BM25 weight modulo idf*(k1+1): tf / (tf + k1*(1-b+b*dl/avgdl))
                 weights = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / max(avgdl, 1e-9)))
                 row = codec.pack_postings(doc_ids, tfs, weights)
-                pos_blob = codec.pack_position_lists(
-                    [codec.decode_sorted(p) for p in g["positions"]]
-                )
+                # positions arrive self-delimiting from the analyzer —
+                # byte-concatenate, zero decode
+                pos_blob = b"".join(g["positions"])
                 out.append(
                     (
                         term, int(shard), row["df"], int(tfs.sum()), row["max_tf"],
@@ -193,9 +194,16 @@ def build_index(
 
     ensure_executors_can_import(spark)
 
+    phases: dict = {}
+
+    def mark(name):
+        phases[name] = round(time.time() - t0 - sum(phases.values()), 3)
+
     doc_map = assign_doc_ids(docs, num_ranges=num_id_ranges)
+    doc_map.persist()  # reused by terms, doc_store, tags — compute once
     docs_w = docs.join(doc_map, "url")
     shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
+    mark("assign_ids")
 
     terms = analyze_to_terms(docs_w, default_lang, analyzer_lang)
     terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / docs_per_shard).cast("int"))
@@ -213,6 +221,7 @@ def build_index(
         F.count("*").alias("n"), F.avg("wc").alias("avgdl")
     ).collect()[0]
     doc_count, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    mark("analyze")
 
     n_shards = max(1, math.ceil(doc_count / docs_per_shard))
 
@@ -226,19 +235,44 @@ def build_index(
         .applyInPandas(_pack_postings_kernel(avgdl), schema=POSTING_SCHEMA)
     )
 
-    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    (
+        doc_stats.repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+    )
     doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
     (
         docs_w.withColumn("shard", shard_col)
+        .repartition(n_shards, "shard")  # one file per shard dir
         .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
     )
+    # checkpoint: the doc phase is durable — an interrupted postings phase
+    # resumes from here without re-analyzing committed work (resume_build)
+    skeleton = {
+        "format_version": 1,
+        "phase": "docs_done",
+        "build_id": build_id,
+        "doc_count": doc_count,
+        "avgdl": avgdl,
+        "docs_per_shard": docs_per_shard,
+        "n_shards": n_shards,
+        "default_lang": default_lang,
+        "analyzer_lang": analyzer_lang,
+        "bm25": {"k1": BM25_K1, "b": BM25_B},
+        "has_tags": tags is not None,
+        "shards": {},
+    }
+    os.makedirs(f"{index_dir}/_meta", exist_ok=True)
+    with open(f"{index_dir}/_meta/manifest.json", "w") as f:
+        json.dump(skeleton, f, indent=1)
+    mark("doc_tables")
     (
-        postings.repartition("shard")
+        postings.repartition(n_shards, "shard")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(f"{index_dir}/postings")
     )
+    mark("postings")
 
     if tags is not None:
         tag_rows = (
@@ -253,6 +287,7 @@ def build_index(
             .partitionBy("shard")
             .parquet(f"{index_dir}/tags")
         )
+    mark("tags")
 
     # per-shard lineage + size metrics (north_rule: per-partition lineage
     # and postings/byte-count metrics)
@@ -277,26 +312,20 @@ def build_index(
         for r in metrics_rows
     }
 
-    manifest = {
-        "format_version": 1,
-        "build_id": build_id,
-        "doc_count": doc_count,
-        "avgdl": avgdl,
-        "docs_per_shard": docs_per_shard,
-        "n_shards": n_shards,
-        "default_lang": default_lang,
-        "analyzer_lang": analyzer_lang,
-        "bm25": {"k1": BM25_K1, "b": BM25_B},
-        "shards": shard_metrics,
-        "build_seconds": round(time.time() - t0, 3),
-        "has_tags": tags is not None,
-    }
-    os.makedirs(f"{index_dir}/_meta", exist_ok=True)
+    mark("metrics")
+    manifest = dict(
+        skeleton,
+        phase="committed",
+        shards=shard_metrics,
+        build_seconds=round(time.time() - t0, 3),
+        phase_seconds=phases,
+    )
     with open(f"{index_dir}/_meta/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
 
     terms.unpersist()
     doc_stats.unpersist()
+    doc_map.unpersist()
     return manifest
 
 

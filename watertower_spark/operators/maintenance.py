@@ -1,0 +1,368 @@
+"""Index maintenance: incremental append, removal, upsert, resume.
+
+The reference mutates per-term KV records with 50× optimistic retries
+(PostDocument/RemoveDocument, database.go:23-156, 290-463).  In the
+batch engine those collapse to shard-grained operations — the shard is
+the checkpoint/lineage unit (north_rule):
+
+- append_documents — new docs get ids from the next empty shard range;
+  every table gains NEW shard partitions only (no rewrite of existing
+  data, the cheap path for crawl-append workloads).
+- remove_documents / upsert_documents — only AFFECTED shards are rebuilt
+  from doc_store (dynamic partition overwrite); all other shards'
+  files are untouched.  This is the I4/I5 diff + I6-I10 posting/tag
+  update semantics expressed as partition-local recompute instead of
+  read-modify-write.
+- resume_build — re-issues a build skipping shards the manifest records
+  as committed (per-partition lineage): an interrupted 10^12-doc build
+  restarts where it stopped.
+
+Note on scoring: BM25 per-block max-weight sidecars embed the avgdl at
+pack time; append/remove drift avgdl, which loosens (never tightens
+incorrectly, since weight is monotone in dl only mildly) the PRUNING
+bound while exact scoring always reads true tf/dl — documented
+approximation, standard for incremental indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analyze import analyze_to_terms
+from .index_build import (
+    POSTING_SCHEMA,
+    TAG_SCHEMA,
+    _pack_postings_kernel,
+    _pack_tags_kernel,
+    assign_doc_ids,
+    load_manifest,
+)
+
+
+def _save_manifest(index_dir: str, manifest: dict) -> None:
+    os.makedirs(f"{index_dir}/_meta", exist_ok=True)
+    tmp = f"{index_dir}/_meta/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, f"{index_dir}/_meta/manifest.json")
+
+
+def _shard_col(docs_per_shard: int):
+    return ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
+
+
+def _build_shard_tables(spark, docs_w: DataFrame, tags: DataFrame | None,
+                        manifest: dict, index_dir: str, mode: str,
+                        replace_shards: list | None = None) -> None:
+    """Analyze docs_w (doc_id, text, lang [+url]) and write postings/tags/
+    doc_stats rows for their shards. mode='append' adds new shard
+    partitions; mode='overwrite_partitions' replaces only touched shards."""
+    dps = manifest["docs_per_shard"]
+    avgdl = manifest["avgdl"]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    write_mode = "append" if mode == "append" else "overwrite"
+
+    terms = analyze_to_terms(docs_w, manifest.get("default_lang") or "",
+                             manifest.get("analyzer_lang"))
+    terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / dps).cast("int"))
+    terms.persist()
+
+    doc_stats = (
+        docs_w.select("doc_id").withColumn("shard", _shard_col(dps))
+        .join(terms.select("doc_id", "wc", "twc").distinct(), "doc_id", "left")
+        .fillna({"wc": 0, "twc": 0})
+    )
+
+    postings = (
+        terms.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(64)))
+        .groupBy("shard", "tb")
+        .applyInPandas(_pack_postings_kernel(avgdl), schema=POSTING_SCHEMA)
+    )
+    (
+        postings.repartition("shard").sortWithinPartitions("term")
+        .write.mode(write_mode).partitionBy("shard").parquet(f"{index_dir}/postings")
+    )
+    # doc_stats rows are returned; persistence differs per caller (append
+    # vs filtered rewrite), so callers write them.
+    terms.unpersist()
+    if tags is not None and manifest.get("has_tags"):
+        tag_rows = (
+            tags.select(F.explode("tags").alias("tag"), "doc_id")
+            .withColumn("shard", _shard_col(dps))
+        )
+        (
+            tag_rows.groupBy("shard").applyInPandas(_pack_tags_kernel, schema=TAG_SCHEMA)
+            .write.mode(write_mode).partitionBy("shard").parquet(f"{index_dir}/tags")
+        )
+    return doc_stats
+
+
+def append_documents(spark: SparkSession, index_dir: str,
+                     new_docs: DataFrame, new_tags: DataFrame | None = None) -> dict:
+    """Incrementally add documents.  New ids start at the next shard
+    boundary so existing shard files are never touched."""
+    m = load_manifest(index_dir)
+    dps = m["docs_per_shard"]
+    base = m["n_shards"] * dps  # ids base (0-based) → first id = base+1
+
+    existing = spark.read.parquet(f"{index_dir}/doc_map").select("url")
+    fresh = new_docs.join(existing, "url", "left_anti")
+
+    ids = assign_doc_ids(fresh, num_ranges=16).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base)
+    )
+    docs_w = fresh.join(ids, "url")
+    n_new = docs_w.count()
+    if n_new == 0:
+        return m
+
+    tags_w = new_tags.join(ids, "url") if new_tags is not None else None
+    doc_stats = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
+    doc_stats.write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+    ids.write.mode("append").parquet(f"{index_dir}/doc_map")
+    docs_w.withColumn("shard", _shard_col(dps)) \
+        .write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+
+    total = m["doc_count"] + n_new
+    new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0][0]
+    m.update(
+        doc_count=total,
+        avgdl=float(new_avg),
+        n_shards=max(m["n_shards"], math.ceil((base + n_new) / dps)),
+        build_id=m["build_id"] + "+a",
+    )
+    _refresh_shard_metrics(spark, index_dir, m)
+    _save_manifest(index_dir, m)
+    return m
+
+
+def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
+    """Remove documents by url: rewrite doc_map/doc_stats/doc_store minus
+    the victims, rebuild ONLY the affected shard partitions (I10)."""
+    m = load_manifest(index_dir)
+    dps = m["docs_per_shard"]
+    doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+    # materialize the victim set to break lineage: later rewrites replace
+    # the very files doc_map reads from (lazy plans must not re-scan them)
+    tmp_victims = f"{index_dir}/_tmp_victims"
+    doc_map.join(urls.select("url"), "url").write.mode("overwrite").parquet(tmp_victims)
+    victims = spark.read.parquet(tmp_victims)
+    shards = [r["shard"] for r in victims.select(_shard_col(dps)).distinct().collect()]
+    if not shards:
+        return m
+    n_removed = victims.count()
+
+    store = spark.read.parquet(f"{index_dir}/doc_store")
+    kept = store.join(victims.select("doc_id"), "doc_id", "left_anti")
+    kept_small = kept.where(F.col("shard").isin(shards)).select(
+        "doc_id", "url", "text", "lang"
+    )
+    kept_small = kept_small.persist()
+    kept_small.count()
+
+    tag_src = None
+    if m.get("has_tags"):
+        # reconstruct tag rows of the affected shards from the tags table
+        tag_src = _tags_as_rows(spark, index_dir, shards, kept_small)
+
+    _rewrite_shards(spark, index_dir, m, kept_small, tag_src, shards)
+
+    # write replacement doc tables BEFORE swapping anything
+    doc_map.join(victims.select("doc_id"), "doc_id", "left_anti") \
+        .write.mode("overwrite").parquet(f"{index_dir}/doc_map_new")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    stats.join(victims.select("doc_id"), "doc_id", "left_anti") \
+        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats_new")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    kept.where(F.col("shard").isin(shards)) \
+        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+    kept_small.unpersist()
+    _swap(spark, index_dir, "doc_map")
+    _swap(spark, index_dir, "doc_stats")
+
+    m.update(doc_count=m["doc_count"] - n_removed, build_id=m["build_id"] + "+r")
+    new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0]
+    m["avgdl"] = float(new_avg[0] or 0.0)
+    _refresh_shard_metrics(spark, index_dir, m)
+    _save_manifest(index_dir, m)
+    import shutil as _sh
+
+    _sh.rmtree(tmp_victims, ignore_errors=True)
+    return m
+
+
+def upsert_documents(spark: SparkSession, index_dir: str,
+                     docs: DataFrame, tags: DataFrame | None = None) -> dict:
+    """PostDocument semantics (I1): existing urls keep their doc_id and get
+    re-analyzed in place (affected shards rebuilt); new urls append."""
+    m = load_manifest(index_dir)
+    dps = m["docs_per_shard"]
+    doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+    updated = docs.join(doc_map, "url")  # (url, ..., doc_id) — keeps old id
+    n_upd = updated.count()
+    if n_upd:
+        shards = [r["shard"] for r in updated.select(_shard_col(dps)).distinct().collect()]
+        store = spark.read.parquet(f"{index_dir}/doc_store")
+        untouched = (
+            store.where(F.col("shard").isin(shards))
+            .join(updated.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "url", "text", "lang")
+        )
+        merged = untouched.unionByName(updated.select("doc_id", "url", "text", "lang"))
+        merged = merged.persist()
+        merged.count()
+        tag_src = None
+        if m.get("has_tags"):
+            old_tag_rows = _tags_as_rows(spark, index_dir, shards, untouched)
+            if tags is not None:
+                new_tag_rows = tags.join(updated.select("url", "doc_id"), "url") \
+                    .select("doc_id", "tags")
+                old_tag_rows = old_tag_rows.join(
+                    new_tag_rows.select("doc_id"), "doc_id", "left_anti"
+                ).unionByName(new_tag_rows)
+            tag_src = old_tag_rows
+        _rewrite_shards(spark, index_dir, m, merged, tag_src, shards)
+        # refresh doc_store + doc_stats rows for these shards
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        new_store = merged.withColumn("shard", _shard_col(dps)) \
+            .join(store.select("doc_id", "warc_ts", "html"), "doc_id", "left")
+        new_store.select(*store.columns) \
+            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+        m["build_id"] = m["build_id"] + "+u"
+        _save_manifest(index_dir, m)
+
+    fresh = docs.join(doc_map, "url", "left_anti")
+    if fresh.limit(1).count():
+        m = append_documents(spark, index_dir, fresh,
+                             tags.join(fresh.select("url"), "url") if tags is not None else None)
+    return m
+
+
+# ------------------------------------------------------------------ util
+
+def _tags_as_rows(spark, index_dir, shards, docs_small):
+    """Decode the tags table of given shards back to (doc_id, tags[]) rows."""
+    import pandas as pd
+
+    def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from watertower_spark.functions import codec
+
+        out_doc, out_tag = [], []
+        for tag, blob in zip(pdf["tag"], pdf["doc_blob"]):
+            for d in codec.decode_sorted(blob):
+                out_doc.append(int(d))
+                out_tag.append(tag)
+        return pd.DataFrame({"doc_id": out_doc, "tag": out_tag})
+
+    t = spark.read.parquet(f"{index_dir}/tags").where(F.col("shard").isin(shards))
+    rows = t.groupBy("shard").applyInPandas(unpack, "doc_id long, tag string")
+    rows = rows.join(docs_small.select("doc_id"), "doc_id")  # drop removed ids
+    return rows.groupBy("doc_id").agg(F.collect_list("tag").alias("tags"))
+
+
+def _rewrite_shards(spark, index_dir, manifest, docs_small, tag_rows, shards):
+    """Rebuild postings (+tags) partitions for the given shards only."""
+    dps = manifest["docs_per_shard"]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    terms = analyze_to_terms(docs_small, manifest.get("default_lang") or "",
+                             manifest.get("analyzer_lang"))
+    terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / dps).cast("int"))
+    postings = (
+        terms.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(64)))
+        .groupBy("shard", "tb")
+        .applyInPandas(_pack_postings_kernel(manifest["avgdl"]), schema=POSTING_SCHEMA)
+    )
+    (
+        postings.repartition("shard").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/postings")
+    )
+    if tag_rows is not None and manifest.get("has_tags"):
+        rows = tag_rows.select(F.explode("tags").alias("tag"), "doc_id") \
+            .withColumn("shard", _shard_col(dps))
+        (
+            rows.groupBy("shard").applyInPandas(_pack_tags_kernel, schema=TAG_SCHEMA)
+            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/tags")
+        )
+
+
+def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
+                 index_dir: str, **build_kwargs) -> dict:
+    """Resume an interrupted build from its last durable phase.
+
+    - no manifest on disk → fresh full build;
+    - phase 'docs_done' (doc_map/doc_stats/doc_store committed, postings
+      phase interrupted) → rebuild ONLY shards whose postings partition
+      directory is absent/incomplete, from doc_store — the per-partition
+      lineage makes the 10^12-doc restart cost proportional to what is
+      actually missing;
+    - phase 'committed' → no-op.
+    """
+    from .index_build import build_index
+
+    try:
+        m = load_manifest(index_dir)
+    except FileNotFoundError:
+        return build_index(docs, tags, index_dir, **build_kwargs)
+    if m.get("phase") == "committed":
+        return m
+
+    present = set()
+    postings_dir = f"{index_dir}/postings"
+    if os.path.isdir(postings_dir):
+        for d in os.listdir(postings_dir):
+            if d.startswith("shard=") and any(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(postings_dir, d))
+            ):
+                present.add(int(d.split("=")[1]))
+    missing = sorted(set(range(m["n_shards"])) - present)
+    if missing:
+        dps = m["docs_per_shard"]
+        store = spark.read.parquet(f"{index_dir}/doc_store")
+        todo = store.where(F.col("shard").isin(missing)).select(
+            "doc_id", "url", "text", "lang"
+        )
+        tag_rows = None
+        if tags is not None and m.get("has_tags"):
+            doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+            tag_rows = tags.join(doc_map, "url").select("doc_id", "tags").join(
+                todo.select("doc_id"), "doc_id"
+            )
+        _rewrite_shards(spark, index_dir, m, todo, tag_rows, missing)
+    m["phase"] = "committed"
+    m["build_id"] = m["build_id"] + "+res"
+    _refresh_shard_metrics(spark, index_dir, m)
+    _save_manifest(index_dir, m)
+    return m
+
+
+def _swap(spark, index_dir, table):
+    import shutil
+
+    shutil.rmtree(f"{index_dir}/{table}")
+    os.rename(f"{index_dir}/{table}_new", f"{index_dir}/{table}")
+
+
+def _refresh_shard_metrics(spark, index_dir, manifest):
+    rows = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("doc_blob") + F.length("tf_blob") + F.length("pos_blob")).alias("bytes"),
+        )
+        .collect()
+    )
+    manifest["shards"] = {
+        str(int(r["shard"])): {
+            "n_terms": int(r["n_terms"]), "n_postings": int(r["n_postings"]),
+            "bytes": int(r["bytes"]), "build_id": manifest["build_id"],
+            "status": "committed",
+        }
+        for r in rows
+    }

@@ -226,11 +226,15 @@ class SearchEngine:
         terms = sorted(query_tokens)
         sel = self.postings.where(F.col("term").isin(terms)) if terms else None
 
-        # global df per term (tiny agg over filtered rows)
+        # global df per term + candidate shard set, in ONE tiny job
         df_global: dict = {}
+        cand_shards: set = set()
         if sel is not None:
-            for r in sel.groupBy("term").agg(F.sum("df").alias("df")).collect():
+            for r in sel.groupBy("term").agg(
+                F.sum("df").alias("df"), F.collect_set("shard").alias("shards")
+            ).collect():
                 df_global[r["term"]] = int(r["df"])
+                cand_shards.update(r["shards"])
             if any(t not in df_global for t in terms):
                 # some term matches nothing anywhere → AND result is empty
                 return self._materialize(empty, mode) if materialize else empty
@@ -271,9 +275,17 @@ class SearchEngine:
             query_tokens, df_global, int(self.manifest["doc_count"]),
             float(self.manifest["avgdl"]), mode, k, n_tags=len(set(tags)),
         )
+        # the stats side of the cogroup is only needed for BM25 doc
+        # lengths, and only for candidate shards (partition pruning)
+        if mode == "bm25" and cand_shards:
+            stats_side = self.doc_stats.where(
+                F.col("shard").isin([int(s) for s in cand_shards])
+            )
+        else:
+            stats_side = self.doc_stats.where(F.lit(False))
         results = (
             groups_df.groupBy("shard")
-            .cogroup(self.doc_stats.groupBy("shard"))
+            .cogroup(stats_side.groupBy("shard"))
             .applyInPandas(kernel, schema=RESULT_SCHEMA)
         )
 

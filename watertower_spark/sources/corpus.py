@@ -195,6 +195,56 @@ def synthetic_rows(n: int, seed: int = 42, start_index: int = 10_000) -> list:
     return rows
 
 
+def synthetic_corpus_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic synthetic corpus (input_hint shape).
+
+    Unlike ``synthetic_rows`` (driver-side, for fixtures), this scales:
+    ``spark.range(n)`` fans out and every doc derives its content from a
+    per-doc Philox stream seeded by (seed, doc_index) — identical rows
+    at ANY partitioning/parallelism, which is what the two-cluster-size
+    scaling evidence requires.
+    """
+    from pyspark.sql import functions as F
+
+    rng_bank = _WORD_BANK
+    epoch = _EPOCH
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bank = np.array(rng_bank)
+        zipf_p = 1.0 / np.arange(1, len(bank) + 1) ** 1.2
+        zipf_p /= zipf_p.sum()
+        cum = np.cumsum(zipf_p)
+        for pdf in batches:
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for i in pdf["id"]:
+                r = np.random.default_rng([seed, int(i)])
+                n_title = int(r.integers(3, 9))
+                n_body = int(r.integers(40, 220))
+                draws = np.searchsorted(cum, r.random(n_title + n_body))
+                words = bank[draws]
+                title = " ".join(words[:n_title].tolist())
+                body = " ".join(words[n_title:].tolist())
+                text = title + "\n\n" + body
+                urls.append(f"cc/{seed}/{int(i):012d}")
+                tss.append(epoch + __import__("datetime").timedelta(seconds=int(i)))
+                htmls.append(("<html><body>" + text + "</body></html>").encode("utf-8"))
+                texts.append(text)
+                langs.append("en")
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+            )
+
+    rng = spark.range(n, numPartitions=partitions)
+    docs = rng.mapInPandas(gen, schema=DOC_SCHEMA)
+    tags = docs.select(
+        "url", F.array(F.concat(F.lit("t"), F.pmod(F.xxhash64("url"), F.lit(8)))).alias("tags")
+    )
+    return docs, tags
+
+
 # ---------------------------------------------------------------- loaders
 
 DOC_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
