@@ -1,0 +1,118 @@
+"""Training-data pipeline operators: dedup, similarity search, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from watertower_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    """Docs with a known near-duplicate pair and an exact-duplicate pair."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # near-dup of 1
+        3: "completely different content about spark query engines",
+        4: "completely different content about spark query engines",  # exact dup of 3
+        5: "unrelated words entirely disjoint vocabulary here now",
+    }
+    rows = []
+    for doc_id, text in texts.items():
+        for pos, term in enumerate(text.split()):
+            rows.append((doc_id, pos, term))
+    return spark.createDataFrame(rows, "doc_id long, pos int, term string")
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(doc_df):
+    rows = {r["text_hash"]: r for r in dedup.exact_duplicates(doc_df).collect()}
+    assert len(rows) == 2
+    dup = [r for r in rows.values() if r["n_docs"] == 2][0]
+    assert dup["keeper"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(token_df):
+    pairs = dedup.minhash_lsh_pairs(token_df, n_hashes=32, bands=16, threshold=0.3).collect()
+    got = {(r["da"], r["db"]) for r in pairs}
+    assert (1, 2) in got          # near-dup pair found
+    assert (3, 4) in got          # exact dup certainly found
+    assert all(r["jaccard"] >= 0.3 for r in pairs)
+    exact = [r for r in pairs if (r["da"], r["db"]) == (3, 4)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_simhash_properties(token_df):
+    codes = {r["doc_id"]: r["simhash"] for r in dedup.simhash(token_df).collect()}
+    assert len(codes) == 5
+    assert codes[3] == codes[4]   # identical docs → identical fingerprints
+    ham12 = bin((codes[1] ^ codes[2]) & (2**64 - 1)).count("1")
+    ham15 = bin((codes[1] ^ codes[5]) & (2**64 - 1)).count("1")
+    assert ham12 < ham15          # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs(token_df):
+    pairs = {(r["da"], r["db"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(token_df, max_hamming=3).collect()}
+    assert pairs.get((3, 4)) == 0
+
+
+def test_similarity_brute_vs_arrow(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[7][1]
+    a = similarity.brute_force_knn(emb, q, k=5, exclude_vec_id=7).collect()
+    b = similarity.cosine_topk_arrow(emb.where("vec_id <> 7"), q, k=5).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    for x, y in zip(a, b):
+        assert abs(x["cos"] - y["cos"]) < 1e-9
+
+
+def test_lsh_bucketed_knn_recall(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(32)
+    rows = [(0, base.astype("float32").tolist())]
+    # 5 vectors near the query, 200 random
+    for i in range(1, 6):
+        rows.append((i, (base + 0.05 * rng.standard_normal(32)).astype("float32").tolist()))
+    for i in range(6, 206):
+        rows.append((i, rng.standard_normal(32).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.brute_force_knn(emb, base.tolist(), k=5, exclude_vec_id=0).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.lsh_bucketed_knn(emb.where("vec_id <> 0"), base.tolist(), k=5,
+                                          n_planes=8, n_tables=8).collect()}
+    # near-neighbors cluster in the same hyperplane buckets → high recall
+    assert len(exact & approx) >= 4
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    feats = multimodal.extract_image_features(media, feat_dim=8).collect()
+    assert len(feats) == sum(1 for r in media.collect() if r["kind"] == "image")
+    assert all(len(r["feat"]) == 8 for r in feats)
+    assert all(r["ok"] for r in feats)
+    assert all(abs(sum(r["feat"]) - 1.0) < 1e-3 for r in feats)  # histogram normalized
+
+    frames = multimodal.sample_video_frames(media, every_ms=5000)
+    fr = frames.collect()
+    assert len(fr) > 0
+    by_media = {}
+    for r in fr:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    durations = {r["media_id"]: r["duration_ms"] for r in media.collect() if r["kind"] == "video"}
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) == max(1, durations[mid] // 5000)

@@ -181,6 +181,45 @@ def pack_postings(
     }
 
 
+def decode_doc_blocks(doc_blob: bytes, block_off: np.ndarray, df: int,
+                      blocks: np.ndarray, block_size: int = BLOCK_SIZE):
+    """Decode only the selected blocks of a packed doc-id stream.
+
+    Returns (doc_ids, posting_index) where posting_index gives each
+    decoded id's global posting position (for tf/positions lookup).
+    Blocks decode independently (each starts with an absolute id).
+    """
+    arr = np.frombuffer(doc_blob, dtype=np.uint8)
+    ends = np.concatenate((block_off[1:], [arr.size])).astype(np.int64)
+    out_ids = []
+    out_idx = []
+    for b in blocks:
+        b = int(b)
+        part = decode_sorted(arr[block_off[b]:ends[b]].tobytes())
+        out_ids.append(part)
+        lo = b * block_size
+        out_idx.append(np.arange(lo, lo + part.size, dtype=np.int64))
+    if not out_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_ids), np.concatenate(out_idx)
+
+
+def decode_tf_blocks(tf_blob: bytes, block_tf_off: np.ndarray, blocks: np.ndarray) -> dict:
+    """Decode selected tf blocks → {block: tf_array}."""
+    arr = np.frombuffer(tf_blob, dtype=np.uint8)
+    ends = np.concatenate((block_tf_off[1:], [arr.size])).astype(np.int64)
+    return {
+        int(b): decode_varint(arr[block_tf_off[int(b)]:ends[int(b)]].tobytes(), out_dtype=np.int64)
+        for b in blocks
+    }
+
+
+def decode_position_block(pos_blob: bytes, byte_start: int, byte_end: int,
+                          n_lists: int) -> list:
+    """Decode the position lists of one block (a byte span of pos_blob)."""
+    return unpack_position_lists(pos_blob[byte_start:byte_end], n_lists)
+
+
 def unpack_postings(row: dict, block_size: int = BLOCK_SIZE) -> tuple[np.ndarray, np.ndarray]:
     """Full decode of a packed posting row → (doc_ids, tfs)."""
     block_off = np.frombuffer(row["block_off"], dtype=np.int64)

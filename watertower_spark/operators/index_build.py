@@ -50,7 +50,7 @@ POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
     "doc_blob binary, tf_blob binary, pos_blob binary, "
     "block_last binary, block_off binary, block_tf_off binary, "
-    "block_max_tf binary, block_max_w binary"
+    "block_pos_off binary, block_max_tf binary, block_max_w binary"
 )
 
 TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
@@ -134,14 +134,19 @@ def _pack_postings_kernel(avgdl: float):
                 weights = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / max(avgdl, 1e-9)))
                 row = codec.pack_postings(doc_ids, tfs, weights)
                 # positions arrive self-delimiting from the analyzer —
-                # byte-concatenate, zero decode
-                pos_blob = b"".join(g["positions"])
+                # byte-concatenate, zero decode; record per-block byte
+                # offsets so the query kernel can seek to one block
+                pos_parts = list(g["positions"])
+                lens = np.fromiter((len(p) for p in pos_parts), dtype=np.int64)
+                cum = np.concatenate(([0], np.cumsum(lens)))
+                block_pos_off = cum[:: codec.BLOCK_SIZE][: (len(pos_parts) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE]
+                pos_blob = b"".join(pos_parts)
                 out.append(
                     (
                         term, int(shard), row["df"], int(tfs.sum()), row["max_tf"],
                         row["doc_blob"], row["tf_blob"], pos_blob,
                         row["block_last"], row["block_off"], row["block_tf_off"],
-                        row["block_max_tf"], row["block_max_w"],
+                        block_pos_off.tobytes(), row["block_max_tf"], row["block_max_w"],
                     )
                 )
         return pd.DataFrame(
@@ -150,7 +155,7 @@ def _pack_postings_kernel(avgdl: float):
                 "term", "shard", "df", "cf", "max_tf",
                 "doc_blob", "tf_blob", "pos_blob",
                 "block_last", "block_off", "block_tf_off",
-                "block_max_tf", "block_max_w",
+                "block_pos_off", "block_max_tf", "block_max_w",
             ],
         )
 
@@ -194,6 +199,15 @@ def build_index(
 
     ensure_executors_can_import(spark)
 
+    # AQE coalescing sizes partitions by BYTES; the analysis/pack stages
+    # are Python-CPU-bound with tiny byte footprints, so coalescing would
+    # collapse them to a handful of tasks.  Pin it off for the build.
+    aqe_coalesce_prev = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    par = spark.sparkContext.defaultParallelism
+
     phases: dict = {}
 
     def mark(name):
@@ -205,7 +219,9 @@ def build_index(
     shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
     mark("assign_ids")
 
-    terms = analyze_to_terms(docs_w, default_lang, analyzer_lang)
+    # explicit fan-out before the expensive Python analysis: the scan of a
+    # byte-small corpus would otherwise run in very few tasks
+    terms = analyze_to_terms(docs_w.repartition(par * 3), default_lang, analyzer_lang)
     terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / docs_per_shard).cast("int"))
     terms.persist()
 
@@ -235,16 +251,32 @@ def build_index(
         .applyInPandas(_pack_postings_kernel(avgdl), schema=POSTING_SCHEMA)
     )
 
-    (
-        doc_stats.repartition(n_shards, "shard")
-        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
-    )
-    doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
-    (
-        docs_w.withColumn("shard", shard_col)
-        .repartition(n_shards, "shard")  # one file per shard dir
-        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
-    )
+    # Independent table writes run on concurrent driver threads (Spark
+    # schedules jobs from multiple threads concurrently): the small doc
+    # tables overlap with each other, and the tags build overlaps with
+    # the postings long pole.  Wave 1 = doc tables (must be durable
+    # before the docs_done checkpoint), wave 2 = postings + tags.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def w_doc_stats():
+        (
+            doc_stats.repartition(n_shards, "shard")
+            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+        )
+
+    def w_doc_map():
+        doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
+
+    def w_doc_store():
+        (
+            docs_w.withColumn("shard", shard_col)
+            .repartition(n_shards, "shard")  # one file per shard dir
+            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f_ in [pool.submit(w) for w in (w_doc_stats, w_doc_map, w_doc_store)]:
+            f_.result()
     # checkpoint: the doc phase is durable — an interrupted postings phase
     # resumes from here without re-analyzing committed work (resume_build)
     skeleton = {
@@ -265,16 +297,19 @@ def build_index(
     with open(f"{index_dir}/_meta/manifest.json", "w") as f:
         json.dump(skeleton, f, indent=1)
     mark("doc_tables")
-    (
-        postings.repartition(n_shards, "shard")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{index_dir}/postings")
-    )
-    mark("postings")
 
-    if tags is not None:
+    def w_postings():
+        (
+            postings.repartition(n_shards, "shard")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{index_dir}/postings")
+        )
+
+    def w_tags():
+        if tags is None:
+            return
         tag_rows = (
             tags.join(doc_map, "url")
             .select(F.explode("tags").alias("tag"), "doc_id")
@@ -287,7 +322,11 @@ def build_index(
             .partitionBy("shard")
             .parquet(f"{index_dir}/tags")
         )
-    mark("tags")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f_ in [pool.submit(w) for w in (w_postings, w_tags)]:
+            f_.result()
+    mark("postings_tags")
 
     # per-shard lineage + size metrics (north_rule: per-partition lineage
     # and postings/byte-count metrics)
@@ -326,6 +365,7 @@ def build_index(
     terms.unpersist()
     doc_stats.unpersist()
     doc_map.unpersist()
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe_coalesce_prev)
     return manifest
 
 

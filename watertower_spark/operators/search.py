@@ -67,6 +67,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
     def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
         from watertower_spark.functions import codec
 
+        BS = codec.BLOCK_SIZE
         shard = int(key[0])
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "shard": pd.Series(dtype="int32"),
@@ -74,58 +75,85 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         if groups_pdf.empty:
             return empty
 
-        # Decode each AND-group present in this shard: query terms and tags.
-        term_docs: dict = {}
-        term_tfs: dict = {}
         term_rows: dict = {}
-        groups: list = []  # (name, doc_id array) for every AND constraint
-        n_term_groups = 0
-        n_tag_groups = 0
+        tag_blobs: list = []
         for row in groups_pdf.itertuples(index=False):
             if row.kind == "term":
-                ids, tfs = codec.unpack_postings(
-                    {"doc_blob": row.doc_blob, "tf_blob": row.tf_blob,
-                     "block_off": row.block_off, "df": row.df}
-                )
-                term_docs[row.name] = ids
-                term_tfs[row.name] = tfs
                 term_rows[row.name] = row
-                groups.append((row.name, ids))
-                n_term_groups += 1
-            else:  # tag
-                ids = codec.decode_sorted(row.doc_blob)
-                groups.append(("#" + row.name, ids))
-                n_tag_groups += 1
+            else:
+                tag_blobs.append(row.doc_blob)
 
         # AND semantics: every query term and every filter tag must have a
         # group row in this shard; anything absent here vetoes the shard.
-        if n_term_groups < len(query_tokens) or n_tag_groups < n_tags:
+        if len(term_rows) < len(query_tokens) or len(tag_blobs) < n_tags:
             return empty
 
-        # smallest-first intersection (int.go:8-10)
-        groups.sort(key=lambda g: g[1].size)
-        cand = groups[0][1]
-        for _, ids in groups[1:]:
-            if cand.size == 0:
+        # Seed candidates from the smallest AND-group (int.go:8-10's
+        # smallest-first strategy), then block-skip through the others:
+        # only blocks whose [first, block_last] range can contain a
+        # remaining candidate are decoded at all.
+        term_decoded: dict = {}  # term -> (ids, posting_idx)
+        order = sorted(
+            [("term", t, int(r.df)) for t, r in term_rows.items()]
+            + [("tag", i, 0) for i in range(len(tag_blobs))],
+            key=lambda x: x[2] if x[0] == "term" else len(tag_blobs[x[1]]),
+        )
+        cand = None
+        for kind_, name, _df in order:
+            if cand is not None and cand.size == 0:
                 return empty
-            cand = cand[np.isin(cand, ids, assume_unique=True)]
-        if cand.size == 0:
+            if kind_ == "tag":
+                ids = codec.decode_sorted(tag_blobs[name])
+                cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+                continue
+            row = term_rows[name]
+            block_off = np.frombuffer(row.block_off, dtype=np.int64)
+            if cand is None:
+                ids, pidx = codec.decode_doc_blocks(
+                    row.doc_blob, block_off, int(row.df),
+                    np.arange(block_off.size), BS,
+                )
+                cand = ids
+            else:
+                block_last = np.frombuffer(row.block_last, dtype=np.int64)
+                needed = np.unique(np.searchsorted(block_last, cand, side="left"))
+                needed = needed[needed < block_last.size]
+                ids, pidx = codec.decode_doc_blocks(
+                    row.doc_blob, block_off, int(row.df), needed, BS
+                )
+                cand = cand[np.isin(cand, ids, assume_unique=True)]
+            term_decoded[name] = (ids, pidx)
+        if cand is None or cand.size == 0:
             return empty
+
+        def posting_locs(term, c):
+            """candidates → (block, offset-within-block) posting coords."""
+            ids, pidx = term_decoded[term]
+            gp = pidx[np.searchsorted(ids, c)]
+            return gp // BS, gp % BS
 
         # Phrase filter (search.go:97-99: applied whenever the query has
-        # tokens), vectorized per term then intersected across terms.
+        # tokens): decode ONLY the position blocks holding candidates.
         if query_tokens:
-            # positions decoded lazily only for candidate docs
             per_term_rel: list = []
             for term, qp in query_tokens.items():
-                ids = term_docs[term]
                 row = term_rows[term]
-                pos_lists = codec.unpack_position_lists(row.pos_blob, int(row.df))
-                idx = np.searchsorted(ids, cand)
+                blocks, offs = posting_locs(term, cand)
+                pos_off = np.frombuffer(row.block_pos_off, dtype=np.int64)
+                pos_end = np.concatenate((pos_off[1:], [len(row.pos_blob)])).astype(np.int64)
+                df_t = int(row.df)
+                cache: dict = {}
                 rel_per_doc = []
-                for j, c in zip(idx, cand):
-                    rel = _phrase_relative_positions(pos_lists[j], qp)
-                    rel_per_doc.append(rel)
+                for b, o in zip(blocks, offs):
+                    b = int(b)
+                    lists = cache.get(b)
+                    if lists is None:
+                        n_lists = min(BS, df_t - b * BS)
+                        lists = codec.decode_position_block(
+                            row.pos_blob, int(pos_off[b]), int(pos_end[b]), n_lists
+                        )
+                        cache[b] = lists
+                    rel_per_doc.append(_phrase_relative_positions(lists[int(o)], qp))
                 per_term_rel.append(rel_per_doc)
             survivors = []
             for i in range(cand.size):
@@ -140,7 +168,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             if cand.size == 0:
                 return empty
 
-        # Scoring
+        # Scoring — tf decoded per needed block only
         scores = np.zeros(cand.size, dtype="float64")
         if query_tokens:
             if mode == "bm25":
@@ -155,10 +183,14 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             else:
                 dl = None
             for term in query_tokens:
-                ids = term_docs[term]
-                tfs = term_tfs[term]
-                idx = np.searchsorted(ids, cand)
-                tf = tfs[idx].astype("float64")
+                row = term_rows[term]
+                blocks, offs = posting_locs(term, cand)
+                tf_off = np.frombuffer(row.block_tf_off, dtype=np.int64)
+                tf_blocks = codec.decode_tf_blocks(row.tf_blob, tf_off, np.unique(blocks))
+                tf = np.fromiter(
+                    (tf_blocks[int(b)][int(o)] for b, o in zip(blocks, offs)),
+                    dtype="float64", count=cand.size,
+                )
                 df = df_global[term]
                 if mode == "bm25":
                     idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
@@ -244,7 +276,8 @@ class SearchEngine:
             parts.append(
                 sel.select(
                     F.lit("term").alias("kind"), F.col("term").alias("name"),
-                    "shard", "df", "doc_blob", "tf_blob", "pos_blob", "block_off",
+                    "shard", "df", "doc_blob", "tf_blob", "pos_blob",
+                    "block_off", "block_last", "block_tf_off", "block_pos_off",
                 )
             )
         if tags:
@@ -259,9 +292,11 @@ class SearchEngine:
                 tag_sel.select(
                     F.lit("tag").alias("kind"), F.col("tag").alias("name"),
                     "shard", F.col("n").alias("df"), "doc_blob",
-                    F.lit(None).cast("binary").alias("tf_blob"),
-                    F.lit(None).cast("binary").alias("pos_blob"),
-                    F.lit(None).cast("binary").alias("block_off"),
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "pos_blob", "block_off",
+                                  "block_last", "block_tf_off", "block_pos_off")
+                    ],
                 )
             )
         groups_df = parts[0]

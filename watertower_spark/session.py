@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local mode: the driver JVM is the executor — size it for cached
+        # term tables (overridable; ignored if the JVM already started)
+        .config("spark.driver.memory", os.environ.get("WT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
