@@ -95,6 +95,44 @@ register_analyzer("unigram", unigram_splitter, None)
 register_analyzer("bigram", bigram_splitter, None)
 
 
+def _register_japanese() -> None:
+    """'ja': the reference uses kagome morphological analysis
+    (nlp/japanese/japanese.go:14-47).  No Japanese tokenizer ships in
+    this container, so we try the common libraries and fall back to
+    character bigrams — a standard CJK indexing strategy whose phrase
+    semantics still make contiguous-substring queries match.  Marked
+    out of rank-identity scope (SURVEY.md §2.2/A5).
+    """
+    try:
+        from janome.tokenizer import Tokenizer as _Janome  # type: ignore
+
+        _tok = _Janome(wakati=True)
+
+        def ja_splitter(content: str) -> list:
+            return [w for w in _tok.tokenize(content)]
+
+        register_analyzer("ja", ja_splitter, None)
+        return
+    except ImportError:
+        pass
+    try:
+        from fugashi import Tagger as _Tagger  # type: ignore
+
+        _tagger = _Tagger()
+
+        def ja_splitter(content: str) -> list:
+            return [w.surface for w in _tagger(content)]
+
+        register_analyzer("ja", ja_splitter, None)
+        return
+    except ImportError:
+        pass
+    register_analyzer("ja", bigram_splitter, None)
+
+
+_register_japanese()
+
+
 # ------------------------------------------------------------- tokenization
 
 def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:

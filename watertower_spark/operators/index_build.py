@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .analyze import analyze_to_terms
+from .analyze import analyze_to_terms  # noqa: F401 (re-exported for maintenance)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -172,6 +172,99 @@ def _pack_tags_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["tag", "shard", "n", "doc_blob"])
 
 
+# ------------------------------------------------- segment build kernel
+
+SEGMENT_SCHEMA = POSTING_SCHEMA + ", kind string, doc_id long, wc int, twc int"
+
+
+def _segment_kernel(avgdl: float, default_lang: str, analyzer_lang: str | None,
+                    docs_per_shard: int):
+    """One-pass analyze+pack over a shard-partitioned docs stream.
+
+    This is the Lucene-segment pattern: each task receives whole shards
+    of documents (doc ids are dense, so hash-partitioning by shard
+    co-locates a shard's docs), analyzes them, and emits fully packed
+    posting rows plus doc-stat rows — the 50M-row exploded term stream
+    never crosses the Python/JVM boundary and never shuffles.  That
+    stream was the scaling bottleneck of the naive two-stage build
+    (Arrow transfer + distinct dominated; cores didn't help).
+    """
+
+    def run(batches):
+        from watertower_spark.analyzers import (
+            analyze_document,
+            find_analyzer,
+            split_title_body,
+        )
+        from watertower_spark.functions import codec
+
+        def resolve(lang: str) -> str:
+            if not lang:
+                return lang
+            try:
+                find_analyzer(lang)
+                return lang
+            except KeyError:
+                return "simple"
+
+        acc: dict = {}   # (term, shard) -> (doc_ids, tfs, pos_blobs)
+        stats: list = []  # (doc_id, shard, wc, twc)
+        dls: dict = {}
+        for pdf in batches:
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                title, body = split_title_body(text or "")
+                use_lang = analyzer_lang if analyzer_lang is not None else resolve(lang or "")
+                tokens, wc, twc = analyze_document(title, body, use_lang, default_lang)
+                shard = (doc_id - 1) // docs_per_shard
+                stats.append((int(doc_id), int(shard), wc, twc))
+                dls[int(doc_id)] = wc
+                for term, positions in tokens.items():
+                    e = acc.get((term, shard))
+                    if e is None:
+                        e = acc[(term, shard)] = ([], [], [])
+                    e[0].append(doc_id)
+                    e[1].append(len(positions))
+                    e[2].append(codec.encode_position_list(positions))
+
+        pcols = [c.split()[0] for c in POSTING_SCHEMA.split(", ")]
+        out = []
+        for (term, shard), (ids, tfs, blobs) in acc.items():
+            ids = np.asarray(ids, dtype=np.int64)
+            tfs_a = np.asarray(tfs, dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs_a = ids[order], tfs_a[order]
+            blobs = [blobs[i] for i in order]
+            dl = np.fromiter((dls[int(d)] for d in ids), dtype="float64", count=ids.size)
+            weights = tfs_a / (tfs_a + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9)))
+            row = codec.pack_postings(ids, tfs_a, weights)
+            lens = np.fromiter((len(p) for p in blobs), dtype=np.int64)
+            cum = np.concatenate(([0], np.cumsum(lens)))
+            bpo = cum[:: codec.BLOCK_SIZE][: (len(blobs) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE]
+            out.append(
+                (
+                    term, int(shard), row["df"], int(tfs_a.sum()), row["max_tf"],
+                    row["doc_blob"], row["tf_blob"], b"".join(blobs),
+                    row["block_last"], row["block_off"], row["block_tf_off"],
+                    bpo.tobytes(), row["block_max_tf"], row["block_max_w"],
+                    "p", None, None, None,
+                )
+            )
+        cols = pcols + ["kind", "doc_id", "wc", "twc"]
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+        if stats:
+            sdf = pd.DataFrame(stats, columns=["doc_id", "shard", "wc", "twc"])
+            sdf["kind"] = "s"
+            for c in pcols:
+                if c not in ("shard",):
+                    if c not in sdf.columns:
+                        sdf[c] = None
+            sdf["term"] = None
+            yield sdf[cols]
+
+    return run
+
+
 # ------------------------------------------------------------ build
 
 def build_index(
@@ -219,37 +312,36 @@ def build_index(
     shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
     mark("assign_ids")
 
-    # explicit fan-out before the expensive Python analysis: the scan of a
-    # byte-small corpus would otherwise run in very few tasks
-    terms = analyze_to_terms(docs_w.repartition(par * 3), default_lang, analyzer_lang)
-    terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / docs_per_shard).cast("int"))
-    terms.persist()
-
-    doc_stats = terms.select("doc_id", "shard", "wc", "twc").distinct()
-    # docs with zero tokens still need stats rows
-    doc_stats = (
-        docs_w.select("doc_id").withColumn("shard", shard_col)
-        .join(doc_stats.drop("shard"), "doc_id", "left")
-        .fillna({"wc": 0, "twc": 0})
-    )
-    doc_stats.persist()
-    stats = doc_stats.agg(
-        F.count("*").alias("n"), F.avg("wc").alias("avgdl")
+    # doc_count + avgdl up front, JVM-side.  avgdl uses the whitespace
+    # token count — exact for the en/simple analyzers (empty stop set ⇒
+    # every Fields token is kept), approximate for n-gram-fallback docs;
+    # it parameterizes BM25 consistently (manifest value == scorer value).
+    stats = docs_w.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))))
+        .alias("avgdl"),
     ).collect()[0]
     doc_count, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
-    mark("analyze")
-
     n_shards = max(1, math.ceil(doc_count / docs_per_shard))
+    mark("count")
 
-    # postings: one shuffle on (shard, term-bucket) → pack kernel.  The
-    # shard doubles as the salt (a head term spreads over all shards);
-    # term buckets bound the pandas group size within a shard.
-    term_buckets = 64
-    postings = (
-        terms.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
-        .groupBy("shard", "tb")
-        .applyInPandas(_pack_postings_kernel(avgdl), schema=POSTING_SCHEMA)
+    # one-pass segment build: co-locate each shard's docs, analyze+pack
+    # inside the task (see _segment_kernel) — the only big shuffle in the
+    # whole build is this repartition of the raw documents.
+    seg = (
+        docs_w.select("doc_id", "text", "lang")
+        .withColumn("shard", shard_col)
+        .repartition(max(n_shards, par * 2), "shard")
+        .mapInPandas(
+            _segment_kernel(avgdl, default_lang, analyzer_lang, docs_per_shard),
+            schema=SEGMENT_SCHEMA,
+        )
     )
+    seg.persist()
+    postings = seg.where(F.col("kind") == "p").drop("kind", "doc_id", "wc", "twc")
+    doc_stats = seg.where(F.col("kind") == "s").select("doc_id", "shard", "wc", "twc")
+    seg.count()  # materialize the one-pass segment build
+    mark("analyze")
 
     # Independent table writes run on concurrent driver threads (Spark
     # schedules jobs from multiple threads concurrently): the small doc
@@ -362,8 +454,7 @@ def build_index(
     with open(f"{index_dir}/_meta/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
 
-    terms.unpersist()
-    doc_stats.unpersist()
+    seg.unpersist()
     doc_map.unpersist()
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe_coalesce_prev)
     return manifest

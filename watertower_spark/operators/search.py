@@ -88,6 +88,55 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         if len(term_rows) < len(query_tokens) or len(tag_blobs) < n_tags:
             return empty
 
+        # Block-max top-k fast path: single-term BM25 with no tag filter
+        # and no phrase constraint — process blocks in descending
+        # upper-bound order and stop when no block can beat the kth score.
+        if (
+            mode == "bm25" and k is not None and not tag_blobs
+            and len(query_tokens) == 1
+            and len(next(iter(query_tokens.values()))) == 1
+        ):
+            term = next(iter(query_tokens))
+            row = term_rows[term]
+            df = df_global[term]
+            idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+            bmw = np.frombuffer(row.block_max_w, dtype=np.float32).astype("float64")
+            ub = idf * (BM25_K1 + 1.0) * bmw
+            order_b = np.argsort(-ub, kind="stable")
+            block_off = np.frombuffer(row.block_off, dtype=np.int64)
+            tf_off = np.frombuffer(row.block_tf_off, dtype=np.int64)
+            if not stats_pdf.empty:
+                s = stats_pdf.sort_values("doc_id")
+                sids = s["doc_id"].to_numpy()
+                swc = s["wc"].to_numpy().astype("float64")
+            else:
+                sids = None
+            top_ids = np.empty(0, dtype=np.int64)
+            top_sc = np.empty(0, dtype="float64")
+            kth = -np.inf
+            for b in order_b:
+                if top_ids.size >= k and ub[b] <= kth:
+                    break
+                ids, _ = codec.decode_doc_blocks(
+                    row.doc_blob, block_off, int(row.df), np.array([b]), BS
+                )
+                tf = codec.decode_tf_blocks(row.tf_blob, tf_off, np.array([b]))[int(b)].astype("float64")
+                dl = swc[np.searchsorted(sids, ids)] if sids is not None else np.full(ids.size, avgdl)
+                denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+                sc = idf * (BM25_K1 + 1.0) * tf / denom
+                top_ids = np.concatenate((top_ids, ids))
+                top_sc = np.concatenate((top_sc, sc))
+                if top_ids.size > k:
+                    sel = np.lexsort((top_ids, -top_sc))[:k]
+                    top_ids, top_sc = top_ids[sel], top_sc[sel]
+                if top_ids.size >= k:
+                    kth = top_sc.min()
+            return pd.DataFrame({
+                "doc_id": top_ids,
+                "shard": np.full(top_ids.size, shard, dtype="int32"),
+                "score": top_sc,
+            })
+
         # Seed candidates from the smallest AND-group (int.go:8-10's
         # smallest-first strategy), then block-skip through the others:
         # only blocks whose [first, block_last] range can contain a
@@ -134,7 +183,15 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
         # Phrase filter (search.go:97-99: applied whenever the query has
         # tokens): decode ONLY the position blocks holding candidates.
-        if query_tokens:
+        # A single-term query whose term occurs once in the query string
+        # cannot reject any candidate (relative positions are non-empty
+        # iff the doc contains the term, which intersection guarantees) —
+        # skip the position decode entirely.
+        phrase_needed = query_tokens and not (
+            len(query_tokens) == 1
+            and len(next(iter(query_tokens.values()))) == 1
+        )
+        if phrase_needed:
             per_term_rel: list = []
             for term, qp in query_tokens.items():
                 row = term_rows[term]
@@ -278,6 +335,7 @@ class SearchEngine:
                     F.lit("term").alias("kind"), F.col("term").alias("name"),
                     "shard", "df", "doc_blob", "tf_blob", "pos_blob",
                     "block_off", "block_last", "block_tf_off", "block_pos_off",
+                    "block_max_w",
                 )
             )
         if tags:
@@ -295,7 +353,8 @@ class SearchEngine:
                     *[
                         F.lit(None).cast("binary").alias(c)
                         for c in ("tf_blob", "pos_blob", "block_off",
-                                  "block_last", "block_tf_off", "block_pos_off")
+                                  "block_last", "block_tf_off", "block_pos_off",
+                                  "block_max_w")
                     ],
                 )
             )

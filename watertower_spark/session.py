@@ -50,6 +50,18 @@ def get_spark(
         # term tables (overridable; ignored if the JVM already started)
         .config("spark.driver.memory", os.environ.get("WT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
+        # small-file corpora: default 128MB split packing caps scan
+        # parallelism at a handful of tasks, serializing the Python
+        # analysis downstream — split finer, CPU cost dwarfs IO here
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # cap GC/compiler thread fan-out: on steal-prone virtualized hosts
+        # the default (≈ncpu GC threads on top of task + Python workers)
+        # triggers lock-holder-preemption collapse
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=4",
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
