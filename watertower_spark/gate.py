@@ -420,14 +420,20 @@ def _gate_index(spark, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _GATE_INDEX_CACHE:
         return _GATE_INDEX_CACHE[key]
-    from watertower_spark.operators.index_build import build_index, load_manifest
+    from watertower_spark.operators.index_build import (
+        FORMAT_VERSION,
+        build_index,
+        load_manifest,
+    )
     from watertower_spark.sources.corpus import adapt_driver_documents
 
     idx = os.path.join(
         tempfile.gettempdir(), "wt_gate_idx_" + key.strip("/").replace("/", "_")
     )
     try:
-        load_manifest(idx)  # reuse across processes: build is deterministic
+        m = load_manifest(idx)  # reuse across processes: build is deterministic
+        if m.get("format_version") != FORMAT_VERSION:
+            raise FileNotFoundError  # stale on-disk layout → rebuild
     except FileNotFoundError:
         docs, tags = adapt_driver_documents(spark, sf_dir)
         build_index(docs, tags, idx, analyzer_lang="simple", docs_per_shard=256)

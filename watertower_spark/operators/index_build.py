@@ -46,6 +46,10 @@ from .analyze import analyze_to_terms  # noqa: F401 (re-exported for maintenance
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# bump when the on-disk posting layout changes (readers reject stale
+# indexes instead of failing obscurely mid-kernel)
+FORMAT_VERSION = 2
+
 POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
     "doc_blob binary, tf_blob binary, pos_blob binary, "
@@ -372,7 +376,7 @@ def build_index(
     # checkpoint: the doc phase is durable — an interrupted postings phase
     # resumes from here without re-analyzing committed work (resume_build)
     skeleton = {
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
         "phase": "docs_done",
         "build_id": build_id,
         "doc_count": doc_count,

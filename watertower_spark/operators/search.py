@@ -277,6 +277,14 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
+        from .index_build import FORMAT_VERSION
+
+        got = self.manifest.get("format_version")
+        if got != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version={got}, "
+                f"engine expects {FORMAT_VERSION} — rebuild the index"
+            )
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
         self.doc_store = spark.read.parquet(f"{index_dir}/doc_store")
