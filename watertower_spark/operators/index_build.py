@@ -335,7 +335,10 @@ def build_index(
     seg = (
         docs_w.select("doc_id", "text", "lang")
         .withColumn("shard", shard_col)
-        .repartition(max(n_shards, par * 2), "shard")
+        # range partitioning maps shards 1:1 onto partitions — hash
+        # partitioning leaves ~1/e of partitions empty and piles 2-3
+        # shards on others, so the slowest task bounds the stage
+        .repartitionByRange(n_shards, "shard")
         .mapInPandas(
             _segment_kernel(avgdl, default_lang, analyzer_lang, docs_per_shard),
             schema=SEGMENT_SCHEMA,
@@ -356,7 +359,7 @@ def build_index(
 
     def w_doc_stats():
         (
-            doc_stats.repartition(n_shards, "shard")
+            doc_stats.repartitionByRange(n_shards, "shard")
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
         )
 
@@ -366,7 +369,7 @@ def build_index(
     def w_doc_store():
         (
             docs_w.withColumn("shard", shard_col)
-            .repartition(n_shards, "shard")  # one file per shard dir
+            .repartitionByRange(n_shards, "shard")  # one file per shard dir
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
         )
 
@@ -396,7 +399,7 @@ def build_index(
 
     def w_postings():
         (
-            postings.repartition(n_shards, "shard")
+            postings.repartitionByRange(n_shards, "shard")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("shard")
