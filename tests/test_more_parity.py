@@ -64,6 +64,30 @@ def test_httpstatus_corpus_search(http_engine):
     assert a == b and a
 
 
+def test_bm25_or_semantics(http_engine):
+    """OR membership ⊇ AND membership; scores of AND-docs identical."""
+    q = "request header"
+    or_rows = {r["doc_id"]: r["score"] for r in
+               http_engine.search(q, None, "en", mode="bm25", operator="or", k=100).collect()}
+    and_rows = {r["doc_id"]: r["score"] for r in
+                http_engine.search(q, None, "en", mode="bm25").collect()}
+    assert set(and_rows) <= set(or_rows)
+    assert len(or_rows) > len(and_rows)  # docs with only one of the terms
+    for d, s in and_rows.items():
+        assert abs(or_rows[d] - s) < 1e-9
+
+
+def test_bm25_or_missing_term_ignored(http_engine):
+    # OR semantics: a nonexistent term contributes nothing, doesn't veto
+    a = {r["doc_id"] for r in
+         http_engine.search("request zzznoterm", None, "en", mode="bm25",
+                            operator="or", k=200).collect()}
+    b = {r["doc_id"] for r in
+         http_engine.search("request", None, "en", mode="bm25",
+                            operator="or", k=200).collect()}
+    assert a == b and a
+
+
 def test_httpstatus_bm25_vs_parity_membership(http_engine):
     """Membership (which docs match) is scoring-independent: both scorers
     return the same doc set for the same query (SURVEY.md §7/M3)."""

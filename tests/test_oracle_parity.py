@@ -76,7 +76,7 @@ def test_all_gate_queries_covered(gate_queries):
         "doc_id_map", "term_stats", "doc_stats", "and_search", "phrase_search",
         "tfidf_search", "bm25_topk", "tag_index", "exact_dedup", "token_count",
         "text_quality", "lang_id", "ngram_jaccard", "embedding_knn",
-        "engine_tfidf", "engine_bm25", "engine_phrase",
+        "engine_tfidf", "engine_bm25", "engine_bm25_or", "engine_phrase",
         "minhash_pairs", "simhash_codes",
     ],
 )

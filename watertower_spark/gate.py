@@ -508,6 +508,34 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_engine_bm25_or(spark, sf_dir):
+    """Disjunctive BM25 top-10 (maxscore kernel) vs closed-form SQL."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("scan vector", None, mode="bm25", operator="or", k=200)
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_BM25_OR = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('scan', 'vector') GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_engine_phrase(spark, sf_dir):
     """Engine phrase verification kernel vs SQL adjacency."""
     eng = _engine(spark, sf_dir)
@@ -556,6 +584,7 @@ QUERIES: dict = {
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
+    "engine_bm25_or": (q_engine_bm25_or, ORACLE_ENGINE_BM25_OR),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_codes": (q_simhash_codes, None),

@@ -302,10 +302,17 @@ class SearchEngine:
         mode: str = "parity",
         k: int | None = None,
         materialize: bool = True,
+        operator: str = "and",
     ) -> DataFrame:
         """Reference Search() semantics (mode='parity') or BM25 top-k
-        (mode='bm25').  Returns a DataFrame ordered by the mode's contract.
+        (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
+        switches to disjunctive top-k with vectorized maxscore pruning.
+        Returns a DataFrame ordered by the mode's contract.
         """
+        if operator == "or":
+            if mode != "bm25" or tags:
+                raise ValueError("operator='or' supports mode='bm25' without tags")
+            return self._search_or(search_word, lang, k or 10, materialize)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -349,11 +356,10 @@ class SearchEngine:
         if tags:
             if self.tags is None:
                 return self._materialize(empty, mode) if materialize else empty
+            # no global existence check needed: a tag absent from a shard
+            # vetoes that shard in the kernel, so a tag absent everywhere
+            # yields the empty result without an extra driver job
             tag_sel = self.tags.where(F.col("tag").isin(tags))
-            found_tags = [r["tag"] for r in tag_sel.select("tag").distinct().collect()]
-            if len(found_tags) < len(set(tags)):
-                # a tag with no documents anywhere → empty AND result
-                return self._materialize(empty, mode) if materialize else empty
             parts.append(
                 tag_sel.select(
                     F.lit("tag").alias("kind"), F.col("tag").alias("name"),
@@ -398,6 +404,54 @@ class SearchEngine:
         else:
             results = results.orderBy(F.col("score").asc(), F.col("doc_id").asc())
         return self._materialize(results, mode) if materialize else results
+
+    def _search_or(self, search_word: str, lang: str, k: int,
+                   materialize: bool) -> DataFrame:
+        """Disjunctive BM25 top-k (operators/wand.py kernel)."""
+        from watertower_spark.analyzers import analyze_query
+        from .wand import make_or_kernel
+
+        spark = self.spark
+        default_lang = self.manifest.get("default_lang") or ""
+        analyzer_lang = self.manifest.get("analyzer_lang")
+        query_tokens = analyze_query(
+            search_word, analyzer_lang or lang, default_lang
+        ) if search_word else {}
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        if not query_tokens:
+            return self._materialize(empty, "bm25") if materialize else empty
+
+        terms = sorted(query_tokens)
+        sel = self.postings.where(F.col("term").isin(terms))
+        df_global: dict = {}
+        cand_shards: set = set()
+        for r in sel.groupBy("term").agg(
+            F.sum("df").alias("df"), F.collect_set("shard").alias("shards")
+        ).collect():
+            df_global[r["term"]] = int(r["df"])
+            cand_shards.update(r["shards"])
+        if not df_global:  # no query term exists anywhere (OR → empty)
+            return self._materialize(empty, "bm25") if materialize else empty
+
+        groups_df = sel.select(
+            F.lit("term").alias("kind"), F.col("term").alias("name"),
+            "shard", "df", "doc_blob", "tf_blob", "block_off", "block_max_w",
+        )
+        stats_side = self.doc_stats.where(
+            F.col("shard").isin([int(s) for s in cand_shards])
+        )
+        kernel = make_or_kernel(
+            query_tokens, df_global, int(self.manifest["doc_count"]),
+            float(self.manifest["avgdl"]), k,
+        )
+        results = (
+            groups_df.groupBy("shard")
+            .cogroup(stats_side.groupBy("shard"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        return self._materialize(results, "bm25") if materialize else results
 
     def _materialize(self, results: DataFrame, mode: str) -> DataFrame:
         """Join the (small) result set to doc_store — Q9/materialization

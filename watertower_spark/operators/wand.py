@@ -1,0 +1,131 @@
+"""Disjunctive (OR) BM25 top-k kernel: vectorized maxscore pruning.
+
+The reference engine is conjunctive-only (int.go); a practical search
+engine also needs OR semantics.  Classic WAND/maxscore are pointer-
+chasing algorithms designed for serial CPUs; inside an Arrow batch the
+profitable formulation is vectorized **maxscore**:
+
+1. per term, a global upper bound ub_t = idf·(k1+1)·max(block_max_w);
+2. bootstrap the top-k threshold θ from the highest-ub term alone
+   (its kth-best single-term score is a valid lower bound on the final
+   kth-best total);
+3. terms whose cumulative ub (ascending) stays below θ are
+   NON-ESSENTIAL: they can never lift an unseen doc into the top k, so
+   candidates come only from the essential terms' postings (union);
+4. score candidates exactly against ALL terms (sorted-array lookups),
+   take the top k.
+
+Every step is a numpy array op over decoded FoR blocks — no per-doc
+Python.  Results are exact (pruning only skips docs that provably
+cannot reach the top k).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .index_build import BM25_B, BM25_K1
+
+RESULT_SCHEMA = "doc_id long, shard int, score double"
+
+
+def _bm25(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+    return idf * (BM25_K1 + 1.0) * tf / denom
+
+
+def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
+                   avgdl: float, k: int):
+    """Per-shard cogroup kernel for disjunctive BM25 top-k."""
+
+    def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        from watertower_spark.functions import codec
+
+        shard = int(key[0])
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "shard": pd.Series(dtype="int32"),
+                              "score": pd.Series(dtype="float64")})
+        if groups_pdf.empty:
+            return empty
+
+        if not stats_pdf.empty:
+            s = stats_pdf.sort_values("doc_id")
+            sids = s["doc_id"].to_numpy()
+            swc = s["wc"].to_numpy().astype("float64")
+
+            def dl_of(ids):
+                return swc[np.searchsorted(sids, ids)]
+        else:
+            def dl_of(ids):
+                return np.full(ids.size, avgdl, dtype="float64")
+
+        terms = []
+        for row in groups_pdf.itertuples(index=False):
+            if row.kind != "term":
+                continue
+            df = df_global[row.name]
+            idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+            bmw = np.frombuffer(row.block_max_w, dtype=np.float32)
+            ub = idf * (BM25_K1 + 1.0) * float(bmw.max()) if bmw.size else 0.0
+            terms.append((ub, idf, row))
+        if not terms:
+            return empty
+        terms.sort(key=lambda t: -t[0])
+
+        decoded: dict = {}
+
+        def decode(row):
+            if row.name not in decoded:
+                ids, tfs = codec.unpack_postings(
+                    {"doc_blob": row.doc_blob, "tf_blob": row.tf_blob,
+                     "block_off": row.block_off, "df": row.df}
+                )
+                decoded[row.name] = (ids, tfs)
+            return decoded[row.name]
+
+        # bootstrap θ from the highest-ub term's own scores
+        _, idf0, row0 = terms[0]
+        ids0, tfs0 = decode(row0)
+        sc0 = _bm25(tfs0.astype("float64"), dl_of(ids0), idf0, avgdl)
+        if sc0.size > k:
+            theta = float(np.partition(sc0, -k)[-k])
+        else:
+            theta = 0.0
+
+        # essential split: non-essential = longest ascending-ub prefix
+        # whose cumulative ub stays below θ
+        ubs = np.array([t[0] for t in terms])          # descending
+        cum_from_tail = np.cumsum(ubs[::-1])[::-1]     # Σ ub_j for j >= i
+        essential = [
+            t for i, t in enumerate(terms)
+            if i == 0 or cum_from_tail[i] >= theta
+        ]
+
+        cand = None
+        for _, _, row in essential:
+            ids, _ = decode(row)
+            cand = ids if cand is None else np.union1d(cand, ids)
+        if cand is None or cand.size == 0:
+            return empty
+
+        scores = np.zeros(cand.size, dtype="float64")
+        dl = dl_of(cand)
+        for _, idf, row in terms:
+            ids, tfs = decode(row)
+            idx = np.searchsorted(ids, cand)
+            idx_c = np.minimum(idx, ids.size - 1)
+            hit = ids[idx_c] == cand
+            tf = np.where(hit, tfs[idx_c], 0).astype("float64")
+            scores += np.where(hit, _bm25(tf, dl, idf, avgdl), 0.0)
+
+        if cand.size > k:
+            sel = np.lexsort((cand, -scores))[:k]
+            cand, scores = cand[sel], scores[sel]
+        return pd.DataFrame({"doc_id": cand.astype("int64"),
+                             "shard": np.full(cand.size, shard, dtype="int32"),
+                             "score": scores})
+
+    return kernel
