@@ -460,6 +460,7 @@ def build_index(
     )
     with open(f"{index_dir}/_meta/manifest.json", "w") as f:
         json.dump(manifest, f, indent=1)
+    append_snapshot(index_dir, manifest, "build")
 
     seg.unpersist()
     doc_map.unpersist()
@@ -470,3 +471,32 @@ def build_index(
 def load_manifest(index_dir: str) -> dict:
     with open(f"{index_dir}/_meta/manifest.json") as f:
         return json.load(f)
+
+
+def append_snapshot(index_dir: str, manifest: dict, op: str) -> None:
+    """Iceberg-style snapshot log: every committed mutation appends one
+    line (op, build_id, doc_count, shard count, per-shard byte totals) to
+    _meta/snapshots.jsonl — the audit trail for resume/lineage questions
+    ('which build wrote shard 17, and how many postings did it carry?')."""
+    rec = {
+        "op": op,
+        "build_id": manifest.get("build_id"),
+        "doc_count": manifest.get("doc_count"),
+        "n_shards": manifest.get("n_shards"),
+        "total_postings": sum(
+            s.get("n_postings", 0) for s in manifest.get("shards", {}).values()
+        ),
+        "total_bytes": sum(
+            s.get("bytes", 0) for s in manifest.get("shards", {}).values()
+        ),
+    }
+    with open(f"{index_dir}/_meta/snapshots.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def snapshot_history(index_dir: str) -> list:
+    path = f"{index_dir}/_meta/snapshots.jsonl"
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]

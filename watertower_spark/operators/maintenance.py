@@ -44,12 +44,15 @@ from .index_build import (
 )
 
 
-def _save_manifest(index_dir: str, manifest: dict) -> None:
+def _save_manifest(index_dir: str, manifest: dict, op: str = "update") -> None:
+    from .index_build import append_snapshot
+
     os.makedirs(f"{index_dir}/_meta", exist_ok=True)
     tmp = f"{index_dir}/_meta/manifest.json.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, f"{index_dir}/_meta/manifest.json")
+    append_snapshot(index_dir, manifest, op)
 
 
 def _shard_col(docs_per_shard: int):
@@ -137,7 +140,7 @@ def append_documents(spark: SparkSession, index_dir: str,
         build_id=m["build_id"] + "+a",
     )
     _refresh_shard_metrics(spark, index_dir, m)
-    _save_manifest(index_dir, m)
+    _save_manifest(index_dir, m, "append")
     return m
 
 
@@ -189,7 +192,7 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0]
     m["avgdl"] = float(new_avg[0] or 0.0)
     _refresh_shard_metrics(spark, index_dir, m)
-    _save_manifest(index_dir, m)
+    _save_manifest(index_dir, m, "remove")
     import shutil as _sh
 
     _sh.rmtree(tmp_victims, ignore_errors=True)
@@ -234,7 +237,7 @@ def upsert_documents(spark: SparkSession, index_dir: str,
         new_store.select(*store.columns) \
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
         m["build_id"] = m["build_id"] + "+u"
-        _save_manifest(index_dir, m)
+        _save_manifest(index_dir, m, "upsert")
 
     fresh = docs.join(doc_map, "url", "left_anti")
     if fresh.limit(1).count():
@@ -336,7 +339,7 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
     m["phase"] = "committed"
     m["build_id"] = m["build_id"] + "+res"
     _refresh_shard_metrics(spark, index_dir, m)
-    _save_manifest(index_dir, m)
+    _save_manifest(index_dir, m, "resume")
     return m
 
 
