@@ -427,6 +427,21 @@ def build_index(
             f_.result()
     mark("postings_tags")
 
+    # global term statistics: one small agg over the packed rows.  The
+    # query engine resolves df/idf and candidate shards from this table
+    # (memoized driver-side) instead of re-aggregating per query.
+    (
+        spark.read.parquet(f"{index_dir}/postings")
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    )
+    mark("term_stats")
+
     # per-shard lineage + size metrics (north_rule: per-partition lineage
     # and postings/byte-count metrics)
     metrics_rows = (

@@ -237,6 +237,7 @@ def upsert_documents(spark: SparkSession, index_dir: str,
         new_store.select(*store.columns) \
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
         m["build_id"] = m["build_id"] + "+u"
+        _refresh_shard_metrics(spark, index_dir, m)
         _save_manifest(index_dir, m, "upsert")
 
     fresh = docs.join(doc_map, "url", "left_anti")
@@ -346,11 +347,23 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
 def _swap(spark, index_dir, table):
     import shutil
 
-    shutil.rmtree(f"{index_dir}/{table}")
+    shutil.rmtree(f"{index_dir}/{table}", ignore_errors=True)
     os.rename(f"{index_dir}/{table}_new", f"{index_dir}/{table}")
 
 
 def _refresh_shard_metrics(spark, index_dir, manifest):
+    # refresh the global term statistics alongside the shard metrics
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
+    )
+    _swap(spark, index_dir, "term_stats")
     rows = (
         spark.read.parquet(f"{index_dir}/postings")
         .groupBy("shard")

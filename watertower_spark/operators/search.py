@@ -291,6 +291,34 @@ class SearchEngine:
         self.tags = (
             spark.read.parquet(f"{index_dir}/tags") if self.manifest.get("has_tags") else None
         )
+        import os as _os
+
+        self.term_stats = (
+            spark.read.parquet(f"{index_dir}/term_stats")
+            if _os.path.isdir(f"{index_dir}/term_stats")
+            else None
+        )
+        self._stats_cache: dict = {}
+
+    def _resolve_terms(self, terms: list) -> dict:
+        """term → (df, shard list) from the global term_stats table,
+        memoized driver-side (absent terms cached as None).  Falls back
+        to a per-query aggregation for pre-term_stats indexes."""
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            if self.term_stats is not None:
+                rows = self.term_stats.where(F.col("term").isin(missing)).collect()
+            else:
+                rows = (
+                    self.postings.where(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"), F.collect_set("shard").alias("shards"))
+                    .collect()
+                )
+            found = {r["term"]: (int(r["df"]), list(r["shards"])) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        return {t: self._stats_cache[t] for t in terms}
 
     # ------------------------------------------------------------- search
 
@@ -328,20 +356,32 @@ class SearchEngine:
             return self._materialize(empty, mode) if materialize else empty
 
         terms = sorted(query_tokens)
-        sel = self.postings.where(F.col("term").isin(terms)) if terms else None
 
-        # global df per term + candidate shard set, in ONE tiny job
+        # global df per term + candidate shard set from the memoized
+        # term_stats lookup (zero jobs for warm terms)
         df_global: dict = {}
         cand_shards: set = set()
-        if sel is not None:
-            for r in sel.groupBy("term").agg(
-                F.sum("df").alias("df"), F.collect_set("shard").alias("shards")
-            ).collect():
-                df_global[r["term"]] = int(r["df"])
-                cand_shards.update(r["shards"])
-            if any(t not in df_global for t in terms):
+        sel = None
+        if terms:
+            resolved = self._resolve_terms(terms)
+            if any(resolved[t] is None for t in terms):
                 # some term matches nothing anywhere → AND result is empty
                 return self._materialize(empty, mode) if materialize else empty
+            for t in terms:
+                df_global[t] = resolved[t][0]
+                cand_shards.update(resolved[t][1])
+            # AND candidates live only in shards where EVERY term appears
+            and_shards = set(resolved[terms[0]][1])
+            for t in terms[1:]:
+                and_shards &= set(resolved[t][1])
+            if not and_shards:
+                # no shard contains every query term ⇒ no doc can either
+                return self._materialize(empty, mode) if materialize else empty
+            cand_shards = and_shards
+            sel = self.postings.where(
+                F.col("term").isin(terms)
+                & F.col("shard").isin([int(s) for s in and_shards])
+            )
 
         parts = []
         if sel is not None:
@@ -423,13 +463,12 @@ class SearchEngine:
 
         terms = sorted(query_tokens)
         sel = self.postings.where(F.col("term").isin(terms))
-        df_global: dict = {}
+        resolved = self._resolve_terms(terms)
+        df_global = {t: v[0] for t, v in resolved.items() if v is not None}
         cand_shards: set = set()
-        for r in sel.groupBy("term").agg(
-            F.sum("df").alias("df"), F.collect_set("shard").alias("shards")
-        ).collect():
-            df_global[r["term"]] = int(r["df"])
-            cand_shards.update(r["shards"])
+        for v in resolved.values():
+            if v is not None:
+                cand_shards.update(v[1])
         if not df_global:  # no query term exists anywhere (OR → empty)
             return self._materialize(empty, "bm25") if materialize else empty
 
