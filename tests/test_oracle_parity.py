@@ -77,6 +77,7 @@ def test_all_gate_queries_covered(gate_queries):
         "tfidf_search", "bm25_topk", "tag_index", "exact_dedup", "token_count",
         "text_quality", "lang_id", "ngram_jaccard", "embedding_knn",
         "engine_tfidf", "engine_bm25", "engine_bm25_or", "engine_phrase",
+        "embedding_near_dup", "ann_lsh_topk",
         "minhash_pairs", "simhash_codes",
     ],
 )

@@ -98,6 +98,22 @@ def test_lsh_bucketed_knn_recall(spark):
     assert len(exact & approx) >= 4
 
 
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64)
+    rows = [(0, base.astype("float32").tolist()),
+            (1, (base + 0.01 * rng.standard_normal(64)).astype("float32").tolist()),
+            (2, (-base).astype("float32").tolist())]
+    for i in range(3, 120):
+        rows.append((i, rng.standard_normal(64).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["va"], r["vb"]): r["cos"] for r in
+             similarity.embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(v >= 0.95 for v in pairs.values())
+    assert (0, 2) not in pairs  # antipodal, cos = -1
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=30)
     feats = multimodal.extract_image_features(media, feat_dim=8).collect()

@@ -550,6 +550,56 @@ WHERE a.term = 'hash' AND b.term = 'join'
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs among vec_id < 150, verified by
+    exact cosine.  LSH affects recall, so membership can't be oracled
+    exactly — but an exhaustive variant can: this query bypasses LSH and
+    computes exact pairwise cosine (bounded subset), matching the SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 150)
+    pe = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
+        .withColumn("x", F.col("x").cast("double"))
+    a = pe.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    b = pe.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "i")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.round(
+                F.sum(F.col("xa") * F.col("xb"))
+                / (F.sqrt(F.sum(F.col("xa") * F.col("xa"))) * F.sqrt(F.sum(F.col("xb") * F.col("xb")))),
+                4,
+            ).alias("cos")
+        )
+        .where(F.col("cos") >= 0.2)
+    )
+    return pairs
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH pe AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings WHERE vec_id < 150
+)
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(sum(a.x * b.x) / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 4) AS cos
+FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id < b.vec_id
+GROUP BY a.vec_id, b.vec_id
+HAVING round(sum(a.x * b.x) / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 4) >= 0.2
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: bucket membership is
+    hash-dependent; recall vs exact is pinned in pytest instead)."""
+    from watertower_spark.operators.similarity import lsh_bucketed_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").collect()[0]["embedding"]
+    return lsh_bucketed_knn(emb.where("vec_id <> 0"), list(q), k=10)
+
+
 # --------------------------------------------------- non-SQL-expressible
 
 def q_minhash_pairs(spark, sf_dir):
@@ -586,6 +636,8 @@ QUERIES: dict = {
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
     "engine_bm25_or": (q_engine_bm25_or, ORACLE_ENGINE_BM25_OR),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
+    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_codes": (q_simhash_codes, None),
 }

@@ -92,6 +92,47 @@ def lsh_bucket_codes(emb: DataFrame, n_planes: int = 12, n_tables: int = 4,
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 10, n_tables: int = 6,
+                             dim: int = 64, seed: int = 11,
+                             max_bucket: int = 2000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (va < vb, cos >= threshold).
+
+    Candidates = vectors sharing any LSH table bucket (random
+    hyperplanes: collision probability (1-θ/π)^n_planes per table);
+    candidates verified with EXACT cosine, so the threshold is exact and
+    LSH affects recall only.  Oversized buckets are dropped, not
+    exploded (CC-scale guard)."""
+    codes = lsh_bucket_codes(emb, n_planes, n_tables, dim, seed)
+    from pyspark.sql import Window
+
+    sized = codes.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("table", "bucket"))
+    ).where(F.col("bsz") <= max_bucket)
+    cand = (
+        sized.alias("x")
+        .join(sized.alias("y"), ["table", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    pe = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
+        .withColumn("x", F.col("x").cast("double"))
+    joined = (
+        cand.join(pe.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa")), ["va"])
+        .join(pe.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb")), ["vb", "i"])
+        .groupBy("va", "vb")
+        .agg(
+            F.round(
+                F.sum(F.col("xa") * F.col("xb"))
+                / (F.sqrt(F.sum(F.col("xa") * F.col("xa"))) * F.sqrt(F.sum(F.col("xb") * F.col("xb")))),
+                4,
+            ).alias("cos")
+        )
+    )
+    return joined.where(F.col("cos") >= threshold).select("va", "vb", "cos")
+
+
 def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
                      n_planes: int = 12, n_tables: int = 4, seed: int = 11) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table bucket
