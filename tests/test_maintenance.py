@@ -38,6 +38,17 @@ def base_index(spark, tmp_index_root, request):
     return idx, rows
 
 
+def test_doc_id_allocation_dense_from_one(spark):
+    # database_test.go:14-32: ids are dense and start at 1, ordered by url
+    from watertower_spark.operators.index_build import assign_doc_ids
+
+    docs = spark.createDataFrame(
+        [("b",), ("a",), ("c",)], "url string"
+    )
+    got = {r["url"]: r["doc_id"] for r in assign_doc_ids(docs).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
 def test_append_documents(spark, base_index):
     idx, rows = base_index
     m0 = load_manifest(idx)
