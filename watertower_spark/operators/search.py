@@ -268,7 +268,12 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
 
 class SearchEngine:
-    """Loads a built index and answers searches as DataFrames."""
+    """Loads a built index and answers searches as DataFrames.
+
+    Instances snapshot the manifest and memoize term statistics at load;
+    after mutating the index (append/remove/upsert), create a fresh
+    SearchEngine rather than reusing one built against the old snapshot.
+    """
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from watertower_spark.session import ensure_executors_can_import
