@@ -83,6 +83,29 @@ def test_remove_documents(spark, base_index):
     assert len(urls) == 3
 
 
+def test_remove_entire_shard(spark, tmp_index_root):
+    """Regression: a shard whose docs are ALL removed must not keep its
+    old partition files alive (dynamic overwrite writes zero rows for it,
+    which deletes nothing)."""
+    rows = corpus.fixture_rows(("searchdata",))[:4]
+    docs, tags = _mkdocs(spark, rows)
+    idx = f"{tmp_index_root}/rm_whole_shard"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=2)  # 2 shards of 2
+    # remove both docs of the second shard (doc_ids 3,4 = urls rank 3,4)
+    doc_map = spark.read.parquet(f"{idx}/doc_map")
+    victims = doc_map.where(F.col("doc_id").isin([3, 4])).select("url")
+    m = remove_documents(spark, idx, victims)
+    assert m["doc_count"] == 2
+    eng = SearchEngine(spark, idx)
+    left = {r["doc_id"] for r in eng.search("the", None, "en").collect()}
+    assert left <= {1, 2}
+    # a term unique to the removed docs must be gone
+    import os
+    assert not os.path.exists(f"{idx}/postings/shard=1")
+    assert not os.path.exists(f"{idx}/doc_store/shard=1")
+
+
 def test_upsert_documents(spark, base_index):
     idx, rows = base_index
     changed = dict(rows[0])

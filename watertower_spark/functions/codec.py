@@ -126,6 +126,7 @@ def pack_postings(
     tfs: np.ndarray,
     weights: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
+    dls: np.ndarray | None = None,
 ) -> dict:
     """Pack one term's postings (sorted by doc_id) into FoR blocks.
 
@@ -137,7 +138,11 @@ def pack_postings(
       block_off  — int64[] byte offset of each block in doc_blob
       block_tf_off — int64[] byte offset of each block in tf_blob
       block_max_tf — int32[] max tf per block
-      block_max_w  — float32[] max weight per block (0s when weights is None)
+      block_max_w  — float32[] max pack-time weight per block (diagnostic)
+      block_min_dl — int32[] min doc length per block — with block_max_tf
+                     this yields a BM25 upper bound valid under ANY
+                     query-time avgdl (weight is ↑ in tf, ↓ in dl), so
+                     pruning stays sound when appends/removals drift avgdl
     plus ints: df (posting count), max_tf.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
@@ -151,6 +156,7 @@ def pack_postings(
     block_tf_off = np.empty(n_blocks, dtype=np.int64)
     block_max_tf = np.empty(n_blocks, dtype=np.int32)
     block_max_w = np.zeros(n_blocks, dtype=np.float32)
+    block_min_dl = np.zeros(n_blocks, dtype=np.int32)
     off = 0
     tf_off = 0
     for b in range(n_blocks):
@@ -168,6 +174,8 @@ def pack_postings(
         block_max_tf[b] = tfs[lo:hi].max()
         if weights is not None:
             block_max_w[b] = np.max(weights[lo:hi])
+        if dls is not None:
+            block_min_dl[b] = int(np.min(dls[lo:hi]))
     return {
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
@@ -176,6 +184,7 @@ def pack_postings(
         "block_tf_off": block_tf_off.tobytes(),
         "block_max_tf": block_max_tf.tobytes(),
         "block_max_w": block_max_w.tobytes(),
+        "block_min_dl": block_min_dl.tobytes(),
         "df": int(n),
         "max_tf": int(tfs.max()) if n else 0,
     }

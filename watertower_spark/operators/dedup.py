@@ -112,13 +112,23 @@ def minhash_lsh_pairs(
 
     sh = _shingles(tokens, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # restrict the expensive per-shingle self-join to docs that are LSH
+    # candidates at all — without this semi-join the bucket-size guard
+    # doesn't protect the verification step (a boilerplate shingle shared
+    # by m docs would still explode into m²/2 join rows)
+    cand_docs = (
+        cand.select(F.col("da").alias("doc_id"))
+        .unionByName(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id")  # semi-like inner; AQE picks the strategy
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        sh_c.alias("a")
+        .join(sh_c.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("inter"))
-        .join(cand, ["da", "db"])  # LSH candidates only
+        .join(cand, ["da", "db"])  # LSH candidate pairs only
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")

@@ -48,13 +48,14 @@ BM25_B = 0.75
 
 # bump when the on-disk posting layout changes (readers reject stale
 # indexes instead of failing obscurely mid-kernel)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
     "doc_blob binary, tf_blob binary, pos_blob binary, "
     "block_last binary, block_off binary, block_tf_off binary, "
-    "block_pos_off binary, block_max_tf binary, block_max_w binary"
+    "block_pos_off binary, block_max_tf binary, block_max_w binary, "
+    "block_min_dl binary"
 )
 
 TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
@@ -136,7 +137,7 @@ def _pack_postings_kernel(avgdl: float):
                 dls = g["wc"].to_numpy().astype("float64")
                 # BM25 weight modulo idf*(k1+1): tf / (tf + k1*(1-b+b*dl/avgdl))
                 weights = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / max(avgdl, 1e-9)))
-                row = codec.pack_postings(doc_ids, tfs, weights)
+                row = codec.pack_postings(doc_ids, tfs, weights, dls=dls)
                 # positions arrive self-delimiting from the analyzer —
                 # byte-concatenate, zero decode; record per-block byte
                 # offsets so the query kernel can seek to one block
@@ -151,6 +152,7 @@ def _pack_postings_kernel(avgdl: float):
                         row["doc_blob"], row["tf_blob"], pos_blob,
                         row["block_last"], row["block_off"], row["block_tf_off"],
                         block_pos_off.tobytes(), row["block_max_tf"], row["block_max_w"],
+                        row["block_min_dl"],
                     )
                 )
         return pd.DataFrame(
@@ -160,6 +162,7 @@ def _pack_postings_kernel(avgdl: float):
                 "doc_blob", "tf_blob", "pos_blob",
                 "block_last", "block_off", "block_tf_off",
                 "block_pos_off", "block_max_tf", "block_max_w",
+                "block_min_dl",
             ],
         )
 
@@ -240,7 +243,7 @@ def _segment_kernel(avgdl: float, default_lang: str, analyzer_lang: str | None,
             blobs = [blobs[i] for i in order]
             dl = np.fromiter((dls[int(d)] for d in ids), dtype="float64", count=ids.size)
             weights = tfs_a / (tfs_a + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9)))
-            row = codec.pack_postings(ids, tfs_a, weights)
+            row = codec.pack_postings(ids, tfs_a, weights, dls=dl)
             lens = np.fromiter((len(p) for p in blobs), dtype=np.int64)
             cum = np.concatenate(([0], np.cumsum(lens)))
             bpo = cum[:: codec.BLOCK_SIZE][: (len(blobs) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE]
@@ -250,6 +253,7 @@ def _segment_kernel(avgdl: float, default_lang: str, analyzer_lang: str | None,
                     row["doc_blob"], row["tf_blob"], b"".join(blobs),
                     row["block_last"], row["block_off"], row["block_tf_off"],
                     bpo.tobytes(), row["block_max_tf"], row["block_max_w"],
+                    row["block_min_dl"],
                     "p", None, None, None,
                 )
             )

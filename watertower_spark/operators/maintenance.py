@@ -17,11 +17,12 @@ the checkpoint/lineage unit (north_rule):
   as committed (per-partition lineage): an interrupted 10^12-doc build
   restarts where it stopped.
 
-Note on scoring: BM25 per-block max-weight sidecars embed the avgdl at
-pack time; append/remove drift avgdl, which loosens (never tightens
-incorrectly, since weight is monotone in dl only mildly) the PRUNING
-bound while exact scoring always reads true tf/dl — documented
-approximation, standard for incremental indexes.
+Note on scoring: pruning upper bounds are computed at QUERY time from
+the per-block (max_tf, min_dl) sidecars and the current avgdl — BM25
+weight is increasing in tf and decreasing in dl, so the bound stays
+sound no matter how appends/removals drift avgdl.  (The pack-time
+block_max_w column is diagnostic only; an earlier design pruned on it,
+which is unsound when avgdl rises.)
 """
 
 from __future__ import annotations
@@ -87,12 +88,12 @@ def _build_shard_tables(spark, docs_w: DataFrame, tags: DataFrame | None,
         .applyInPandas(_pack_postings_kernel(avgdl), schema=POSTING_SCHEMA)
     )
     (
-        postings.repartition("shard").sortWithinPartitions("term")
+        postings.repartitionByRange("shard").sortWithinPartitions("term")
         .write.mode(write_mode).partitionBy("shard").parquet(f"{index_dir}/postings")
     )
-    # doc_stats rows are returned; persistence differs per caller (append
-    # vs filtered rewrite), so callers write them.
-    terms.unpersist()
+    # NOTE: doc_stats (returned, lazy) depends on the cached `terms`;
+    # callers must write it BEFORE calling the returned unpersist thunk,
+    # else the append re-analyzes every document a second time.
     if tags is not None and manifest.get("has_tags"):
         tag_rows = (
             tags.select(F.explode("tags").alias("tag"), "doc_id")
@@ -102,7 +103,7 @@ def _build_shard_tables(spark, docs_w: DataFrame, tags: DataFrame | None,
             tag_rows.groupBy("shard").applyInPandas(_pack_tags_kernel, schema=TAG_SCHEMA)
             .write.mode(write_mode).partitionBy("shard").parquet(f"{index_dir}/tags")
         )
-    return doc_stats
+    return doc_stats, terms.unpersist
 
 
 def append_documents(spark: SparkSession, index_dir: str,
@@ -125,8 +126,9 @@ def append_documents(spark: SparkSession, index_dir: str,
         return m
 
     tags_w = new_tags.join(ids, "url") if new_tags is not None else None
-    doc_stats = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
+    doc_stats, release_terms = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
     doc_stats.write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+    release_terms()
     ids.write.mode("append").parquet(f"{index_dir}/doc_map")
     docs_w.withColumn("shard", _shard_col(dps)) \
         .write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_store")
@@ -157,6 +159,9 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     victims = spark.read.parquet(tmp_victims)
     shards = [r["shard"] for r in victims.select(_shard_col(dps)).distinct().collect()]
     if not shards:
+        import shutil as _sh
+
+        _sh.rmtree(tmp_victims, ignore_errors=True)
         return m
     n_removed = victims.count()
 
@@ -184,6 +189,19 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     kept.where(F.col("shard").isin(shards)) \
         .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+    # dynamic partition overwrite only touches partitions PRESENT in the
+    # written data: a shard whose docs were ALL removed produces zero
+    # rows, leaving its old files alive — delete those partitions
+    # explicitly or removed docs stay searchable
+    surviving = {
+        r["shard"] for r in kept_small.select(_shard_col(dps)).distinct().collect()
+    }
+    import shutil as _sh
+
+    for s in shards:
+        if s not in surviving:
+            for table in ("postings", "doc_store", "tags", "doc_stats"):
+                _sh.rmtree(f"{index_dir}/{table}/shard={s}", ignore_errors=True)
     kept_small.unpersist()
     _swap(spark, index_dir, "doc_map")
     _swap(spark, index_dir, "doc_stats")
@@ -282,7 +300,7 @@ def _rewrite_shards(spark, index_dir, manifest, docs_small, tag_rows, shards):
         .applyInPandas(_pack_postings_kernel(manifest["avgdl"]), schema=POSTING_SCHEMA)
     )
     (
-        postings.repartition("shard").sortWithinPartitions("term")
+        postings.repartitionByRange("shard").sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/postings")
     )
     if tag_rows is not None and manifest.get("has_tags"):

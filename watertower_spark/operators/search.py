@@ -100,8 +100,14 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             row = term_rows[term]
             df = df_global[term]
             idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
-            bmw = np.frombuffer(row.block_max_w, dtype=np.float32).astype("float64")
-            ub = idf * (BM25_K1 + 1.0) * bmw
+            # sound per-block upper bound under the CURRENT avgdl: BM25
+            # weight is increasing in tf and decreasing in dl, so
+            # (block max_tf, block min_dl) bound every posting even after
+            # appends/removals drifted avgdl since pack time
+            bmt = np.frombuffer(row.block_max_tf, dtype=np.int32).astype("float64")
+            bmd = np.frombuffer(row.block_min_dl, dtype=np.int32).astype("float64")
+            w_ub = bmt / (bmt + BM25_K1 * (1.0 - BM25_B + BM25_B * bmd / max(avgdl, 1e-9)))
+            ub = idf * (BM25_K1 + 1.0) * w_ub
             order_b = np.argsort(-ub, kind="stable")
             block_off = np.frombuffer(row.block_off, dtype=np.int64)
             tf_off = np.frombuffer(row.block_tf_off, dtype=np.int64)
@@ -115,7 +121,10 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             top_sc = np.empty(0, dtype="float64")
             kth = -np.inf
             for b in order_b:
-                if top_ids.size >= k and ub[b] <= kth:
+                # strict <: a block with ub == kth can hold a TYING doc
+                # with a smaller doc_id, which the deterministic
+                # tie-break contract must surface
+                if top_ids.size >= k and ub[b] < kth:
                     break
                 ids, _ = codec.decode_doc_blocks(
                     row.doc_blob, block_off, int(row.df), np.array([b]), BS
@@ -395,7 +404,7 @@ class SearchEngine:
                     F.lit("term").alias("kind"), F.col("term").alias("name"),
                     "shard", "df", "doc_blob", "tf_blob", "pos_blob",
                     "block_off", "block_last", "block_tf_off", "block_pos_off",
-                    "block_max_w",
+                    "block_max_tf", "block_min_dl",
                 )
             )
         if tags:
@@ -413,7 +422,7 @@ class SearchEngine:
                         F.lit(None).cast("binary").alias(c)
                         for c in ("tf_blob", "pos_blob", "block_off",
                                   "block_last", "block_tf_off", "block_pos_off",
-                                  "block_max_w")
+                                  "block_max_tf", "block_min_dl")
                     ],
                 )
             )
@@ -479,7 +488,8 @@ class SearchEngine:
 
         groups_df = sel.select(
             F.lit("term").alias("kind"), F.col("term").alias("name"),
-            "shard", "df", "doc_blob", "tf_blob", "block_off", "block_max_w",
+            "shard", "df", "doc_blob", "tf_blob", "block_off",
+            "block_max_tf", "block_min_dl",
         )
         stats_side = self.doc_stats.where(
             F.col("shard").isin([int(s) for s in cand_shards])

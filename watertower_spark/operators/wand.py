@@ -68,8 +68,15 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 continue
             df = df_global[row.name]
             idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
-            bmw = np.frombuffer(row.block_max_w, dtype=np.float32)
-            ub = idf * (BM25_K1 + 1.0) * float(bmw.max()) if bmw.size else 0.0
+            # upper bound from (max_tf, min_dl) under the CURRENT avgdl —
+            # sound even after incremental updates drifted avgdl
+            bmt = np.frombuffer(row.block_max_tf, dtype=np.int32).astype("float64")
+            bmd = np.frombuffer(row.block_min_dl, dtype=np.int32).astype("float64")
+            if bmt.size:
+                w_ub = bmt / (bmt + BM25_K1 * (1.0 - BM25_B + BM25_B * bmd / max(avgdl, 1e-9)))
+                ub = idf * (BM25_K1 + 1.0) * float(w_ub.max())
+            else:
+                ub = 0.0
             terms.append((ub, idf, row))
         if not terms:
             return empty
