@@ -91,24 +91,25 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(tokens, n_hashes, k, seed)
-    band_cols = [
-        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
-        for i in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    cand = None
-    for i in range(bands):
-        bi = banded.select("doc_id", F.col(f"b{i}").alias("bucket"))
-        sized = bi.withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
-        bi = sized.where(F.col("bsz") <= max_bucket).drop("bsz")
-        p = (
-            bi.alias("x")
-            .join(bi.alias("y"), "bucket")
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    band_cols = F.array(
+        *[
+            F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+            for i in range(bands)
+        ]
+    )
+    # one exploded (doc_id, band, bucket) relation → ONE self-join on
+    # (band, bucket) replaces a join per band (fewer stages, same pairs)
+    banded = sig.select("doc_id", F.posexplode(band_cols).alias("band", "bucket"))
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("bsz") <= max_bucket).drop("bsz")
+    cand = (
+        sized.alias("x")
+        .join(sized.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
 
     sh = _shingles(tokens, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
