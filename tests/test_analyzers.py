@@ -78,6 +78,15 @@ def test_porter2_vectors():
         "news": "news",
         "by": "by",               # <= 2 letters unchanged
         "inning": "inning",       # invariant after 1a
+        "happy": "happi",         # 1c y→i
+        "knightly": "knight",     # 1c y→i then step2 'li' after valid ending
+        "dogs": "dog",
+        "agreed": "agre",         # eed→ee in R1, then step-5 e-deletion
+        "apostrophe's": "apostroph",  # step0 's + step5 e
+        "ties": "tie",
+        "archaeology": "archaeolog",  # ogi/og handling via y→i
+        "meetings": "meet",
+        "feed": "feed",           # eed not in R1
     }
     for word, want in vectors.items():
         assert porter2.stem(word) == want, f"{word}: {porter2.stem(word)!r} != {want!r}"
