@@ -122,6 +122,46 @@ def test_upsert_documents(spark, base_index):
     }
 
 
+def test_upsert_refreshes_doc_stats_and_avgdl(spark, base_index):
+    """Regression (ADVICE r1, high): upserting a doc with a different
+    length must rewrite its doc_stats row and recompute manifest avgdl —
+    BM25 scores with stale lengths otherwise."""
+    import math
+
+    idx, rows = base_index
+    doc_map = {r["url"]: r["doc_id"]
+               for r in spark.read.parquet(f"{idx}/doc_map").collect()}
+    victim_url = rows[0]["url"]
+    victim_id = doc_map[victim_url]
+    old_wc = {r["doc_id"]: r["wc"]
+              for r in spark.read.parquet(f"{idx}/doc_stats").collect()}
+
+    # shrink the victim to a 4-word body (title contributes 2 kept words)
+    changed = {**rows[0], "text": "100 Continue\n\nxylophone zebra quartz vortex."}
+    docs, tags = _mkdocs(spark, [changed])
+    m = upsert_documents(spark, idx, docs, tags)
+
+    new_stats = {r["doc_id"]: r["wc"]
+                 for r in spark.read.parquet(f"{idx}/doc_stats").collect()}
+    assert new_stats[victim_id] == 6  # 2 title words + 4 body words
+    assert new_stats[victim_id] != old_wc[victim_id]
+    # untouched docs keep their lengths
+    for d, wc in old_wc.items():
+        if d != victim_id:
+            assert new_stats[d] == wc
+    # manifest avgdl tracks the new lengths exactly
+    assert math.isclose(m["avgdl"], sum(new_stats.values()) / len(new_stats))
+
+    # and BM25 actually scores with the fresh dl: recompute by hand
+    eng = SearchEngine(spark, idx)
+    got = eng.search("xylophone", None, "en", mode="bm25", k=5).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == victim_id
+    n, df, tf, dl = m["doc_count"], 1, 1, new_stats[victim_id]
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = idf * 2.2 * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / m["avgdl"]))
+    assert abs(got[0]["score"] - want) < 1e-9
+
+
 def test_resume_build(spark, tmp_index_root):
     rows = corpus.fixture_rows(("searchdata",))
     docs, tags = _mkdocs(spark, rows)

@@ -53,6 +53,45 @@ def test_minhash_lsh_finds_near_dup(token_df):
     assert exact["jaccard"] == 1.0
 
 
+def test_minhash_verify_linear_under_boilerplate(spark):
+    """Regression (VERDICT r1): a boilerplate shingle shared by 5k docs
+    must not explode the exact-Jaccard verification.  The verify join is
+    driven from candidate pairs, so its intermediate is exactly
+    Σ_pairs |shingles(da)| — asserted on row counts, not wall time."""
+    n = 5000
+    rows = []
+    for d in range(1, n + 1):
+        # 3 unique shingles per doc + ONE shingle shared by every doc
+        rows += [(d, f"u{d}s{j}") for j in range(3)] + [(d, "all rights reserved")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    # 2500 disjoint candidate pairs (the LSH stage's output shape)
+    cand = spark.createDataFrame(
+        [(d, d + 1) for d in range(1, n, 2)], "da long, db long"
+    )
+    inter_rows = dedup._pair_shingle_rows(cand, sh).count()
+    assert inter_rows == cand.count() * 4  # linear: 4 shingles per da
+    verified = dedup._exact_jaccard(cand, sh, threshold=0.1).collect()
+    # every pair shares exactly the boilerplate shingle: j = 1/(4+4-1)
+    assert len(verified) == 2500
+    assert all(abs(r["jaccard"] - round(1 / 7, 4)) < 1e-9 for r in verified)
+
+
+def test_minhash_boilerplate_no_false_pairs(spark):
+    """End-to-end: boilerplate-suffixed docs are not near-dups; the one
+    planted pair survives with its exact Jaccard."""
+    rows = []
+    for d in range(1, 301):
+        words = [f"w{d}a", f"w{d}b", f"w{d}c", "all", "rights", "reserved"]
+        if d == 2:  # doc 2 = doc 1 + one extra token → jaccard 4/5
+            words = [f"w1a", f"w1b", f"w1c", "all", "rights", "reserved", "extra"]
+        rows += [(d, p, w) for p, w in enumerate(words)]
+    toks = spark.createDataFrame(rows, "doc_id long, pos int, term string")
+    pairs = {(r["da"], r["db"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(toks, n_hashes=32, bands=16,
+                                              threshold=0.5).collect()}
+    assert pairs == {(1, 2): 0.8}
+
+
 def test_simhash_properties(token_df):
     codes = {r["doc_id"]: r["simhash"] for r in dedup.simhash(token_df).collect()}
     assert len(codes) == 5

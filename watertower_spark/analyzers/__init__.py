@@ -213,10 +213,18 @@ def split_title_body(text: str) -> tuple[str, str]:
 
 def analyze_query(search_word: str, lang: str, default_lang: str = "") -> dict:
     """Query-string analysis (search.go:16-31): resolve language (byte-length
-    n-gram heuristic when empty), tokenize single-section."""
+    n-gram heuristic when empty), tokenize single-section.
+
+    Unregistered languages degrade to the 'simple' analyzer, mirroring the
+    index side (operators/analyze.py resolve()) — documents ingested under
+    the fallback must be reachable via the lang they were ingested with.
+    """
     language = lang or default_lang
     if not language:
         language = "unigram" if len(search_word.encode("utf-8")) < 2 else "bigram"
-    analyzer = find_analyzer(language)
+    try:
+        analyzer = find_analyzer(language)
+    except KeyError:
+        analyzer = find_analyzer("simple")
     token_map, _ = tokenize_stream(analyzer, search_word)
     return token_map

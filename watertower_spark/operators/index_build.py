@@ -48,14 +48,14 @@ BM25_B = 0.75
 
 # bump when the on-disk posting layout changes (readers reject stale
 # indexes instead of failing obscurely mid-kernel)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
     "doc_blob binary, tf_blob binary, pos_blob binary, "
     "block_last binary, block_off binary, block_tf_off binary, "
     "block_pos_off binary, block_max_tf binary, block_max_w binary, "
-    "block_min_dl binary"
+    "block_min_dl binary, bytes long"
 )
 
 TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
@@ -63,21 +63,30 @@ TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
 
 # ------------------------------------------------------------ doc ids
 
-def assign_doc_ids(docs: DataFrame, num_ranges: int = 64, seed: int = 42) -> DataFrame:
+def assign_doc_ids(docs: DataFrame, num_ranges: int = 64, seed: int = 42,
+                   total: int | None = None) -> DataFrame:
     """url → dense 1-based doc_id, ordered by url, deterministically.
 
-    Two light jobs over the url column only:
+    Two light jobs over the url column only (plus a count when the caller
+    didn't already know ``total``):
       1. seeded sample → num_ranges-1 boundary urls (driver-side, tiny);
       2. per-range counts → cumulative offsets (num_ranges rows).
     Then ids = offset[range] + rank within range.  Stays correct at any
     cluster size because ranges derive from data + seed, not from
     physical partitioning.
+
+    ``num_ranges`` scales with the corpus so the per-range pandas group
+    in the numbering kernel stays ~1M rows no matter the corpus size —
+    a fixed range count would make each range a multi-GB single-task
+    frame at 10^9+ docs.
     """
     spark = docs.sparkSession
     urls = docs.select("url")
-    total = urls.count()
+    if total is None:
+        total = urls.count()
     if total == 0:
         return spark.createDataFrame([], "url string, doc_id long")
+    num_ranges = max(num_ranges, math.ceil(total / 1_000_000))
     fraction = min(1.0, (num_ranges * 40.0) / max(total, 1))
     sample = [r[0] for r in urls.sample(fraction=fraction, seed=seed).collect()]
     sample.sort()
@@ -153,6 +162,7 @@ def _pack_postings_kernel(avgdl: float):
                         row["block_last"], row["block_off"], row["block_tf_off"],
                         block_pos_off.tobytes(), row["block_max_tf"], row["block_max_w"],
                         row["block_min_dl"],
+                        len(row["doc_blob"]) + len(row["tf_blob"]) + len(pos_blob),
                     )
                 )
         return pd.DataFrame(
@@ -162,7 +172,7 @@ def _pack_postings_kernel(avgdl: float):
                 "doc_blob", "tf_blob", "pos_blob",
                 "block_last", "block_off", "block_tf_off",
                 "block_pos_off", "block_max_tf", "block_max_w",
-                "block_min_dl",
+                "block_min_dl", "bytes",
             ],
         )
 
@@ -247,13 +257,15 @@ def _segment_kernel(avgdl: float, default_lang: str, analyzer_lang: str | None,
             lens = np.fromiter((len(p) for p in blobs), dtype=np.int64)
             cum = np.concatenate(([0], np.cumsum(lens)))
             bpo = cum[:: codec.BLOCK_SIZE][: (len(blobs) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE]
+            pos_blob = b"".join(blobs)
             out.append(
                 (
                     term, int(shard), row["df"], int(tfs_a.sum()), row["max_tf"],
-                    row["doc_blob"], row["tf_blob"], b"".join(blobs),
+                    row["doc_blob"], row["tf_blob"], pos_blob,
                     row["block_last"], row["block_off"], row["block_tf_off"],
                     bpo.tobytes(), row["block_max_tf"], row["block_max_w"],
                     row["block_min_dl"],
+                    len(row["doc_blob"]) + len(row["tf_blob"]) + len(pos_blob),
                     "p", None, None, None,
                 )
             )
@@ -314,17 +326,13 @@ def build_index(
     def mark(name):
         phases[name] = round(time.time() - t0 - sum(phases.values()), 3)
 
-    doc_map = assign_doc_ids(docs, num_ranges=num_id_ranges)
-    doc_map.persist()  # reused by terms, doc_store, tags — compute once
-    docs_w = docs.join(doc_map, "url")
-    shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
-    mark("assign_ids")
-
-    # doc_count + avgdl up front, JVM-side.  avgdl uses the whitespace
-    # token count — exact for the en/simple analyzers (empty stop set ⇒
-    # every Fields token is kept), approximate for n-gram-fallback docs;
-    # it parameterizes BM25 consistently (manifest value == scorer value).
-    stats = docs_w.agg(
+    # doc_count + avgdl in ONE job over the raw docs (no doc_map join —
+    # the join is 1:1 so the aggregate is identical).  avgdl uses the
+    # whitespace token count — exact for the en/simple analyzers (empty
+    # stop set ⇒ every Fields token is kept), approximate for
+    # n-gram-fallback docs; it parameterizes BM25 consistently (manifest
+    # value == scorer value).
+    stats = docs.agg(
         F.count("*").alias("n"),
         F.avg(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))))
         .alias("avgdl"),
@@ -332,6 +340,12 @@ def build_index(
     doc_count, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     n_shards = max(1, math.ceil(doc_count / docs_per_shard))
     mark("count")
+
+    doc_map = assign_doc_ids(docs, num_ranges=num_id_ranges, total=doc_count)
+    doc_map.persist()  # reused by terms, doc_store, tags — compute once
+    docs_w = docs.join(doc_map, "url")
+    shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
+    mark("assign_ids")
 
     # one-pass segment build: co-locate each shard's docs, analyze+pack
     # inside the task (see _segment_kernel) — the only big shuffle in the
@@ -349,22 +363,24 @@ def build_index(
         )
     )
     seg.persist()
+    # each seg partition holds exactly one shard (the repartitionByRange
+    # above), so every downstream write is shuffle-free: partitionBy
+    # routes each task's rows straight into its shard directory.
     postings = seg.where(F.col("kind") == "p").drop("kind", "doc_id", "wc", "twc")
     doc_stats = seg.where(F.col("kind") == "s").select("doc_id", "shard", "wc", "twc")
-    seg.count()  # materialize the one-pass segment build
-    mark("analyze")
 
     # Independent table writes run on concurrent driver threads (Spark
-    # schedules jobs from multiple threads concurrently): the small doc
-    # tables overlap with each other, and the tags build overlaps with
-    # the postings long pole.  Wave 1 = doc tables (must be durable
-    # before the docs_done checkpoint), wave 2 = postings + tags.
+    # schedules jobs from multiple threads concurrently).  Wave 1 = doc
+    # tables (must be durable before the docs_done checkpoint): the
+    # doc_stats write is the job that materializes the persisted segment
+    # kernel output (no separate count() barrier — the old barrier cost a
+    # full extra pass of the longest stage), overlapping the IO-bound
+    # doc_map/doc_store writes with the CPU-bound analysis.
     from concurrent.futures import ThreadPoolExecutor
 
     def w_doc_stats():
-        (
-            doc_stats.repartitionByRange(n_shards, "shard")
-            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+        doc_stats.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{index_dir}/doc_stats"
         )
 
     def w_doc_map():
@@ -401,10 +417,16 @@ def build_index(
         json.dump(skeleton, f, indent=1)
     mark("doc_tables")
 
+    # Wave 2: postings (the long pole), tags, plus the term_stats write
+    # and the shard-metrics collect — the latter two aggregate NARROW
+    # columns of the already-cached segment output, replacing the two
+    # full postings-table re-reads the old pipeline did after the write.
     def w_postings():
+        # no repartition: seg partitions already are the shards; the
+        # within-partition term sort gives term-ordered files → parquet
+        # row-group pruning for the pushed-down In(term, …) query filter
         (
-            postings.repartitionByRange(n_shards, "shard")
-            .sortWithinPartitions("term")
+            postings.sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(f"{index_dir}/postings")
@@ -426,38 +448,40 @@ def build_index(
             .parquet(f"{index_dir}/tags")
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f_ in [pool.submit(w) for w in (w_postings, w_tags)]:
+    def w_term_stats():
+        # global term statistics: the query engine resolves df/idf and
+        # candidate shards from this table (memoized driver-side)
+        # instead of re-aggregating per query.
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.sort_array(F.collect_set("shard")).alias("shards"),
+            )
+            .write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+        )
+
+    metrics_box: dict = {}
+
+    def w_metrics():
+        # per-shard lineage + size metrics (north_rule: per-partition
+        # lineage and postings/byte-count metrics)
+        metrics_box["rows"] = (
+            postings.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f_ in [pool.submit(w) for w in (w_postings, w_tags, w_term_stats, w_metrics)]:
             f_.result()
     mark("postings_tags")
 
-    # global term statistics: one small agg over the packed rows.  The
-    # query engine resolves df/idf and candidate shards from this table
-    # (memoized driver-side) instead of re-aggregating per query.
-    (
-        spark.read.parquet(f"{index_dir}/postings")
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.sort_array(F.collect_set("shard")).alias("shards"),
-        )
-        .write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-    )
-    mark("term_stats")
-
-    # per-shard lineage + size metrics (north_rule: per-partition lineage
-    # and postings/byte-count metrics)
-    metrics_rows = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum(F.length("doc_blob") + F.length("tf_blob") + F.length("pos_blob")).alias("bytes"),
-        )
-        .collect()
-    )
     shard_metrics = {
         int(r["shard"]): {
             "n_terms": int(r["n_terms"]),
@@ -466,9 +490,8 @@ def build_index(
             "build_id": build_id,
             "status": "committed",
         }
-        for r in metrics_rows
+        for r in metrics_box["rows"]
     }
-
     mark("metrics")
     manifest = dict(
         skeleton,

@@ -166,11 +166,14 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     n_removed = victims.count()
 
     store = spark.read.parquet(f"{index_dir}/doc_store")
-    kept = store.join(victims.select("doc_id"), "doc_id", "left_anti")
-    kept_small = kept.where(F.col("shard").isin(shards)).select(
-        "doc_id", "url", "text", "lang"
+    # kept rows of the affected shards, ALL columns, materialized — the
+    # doc_store overwrite below replaces the very files this plan reads,
+    # so every write must come from the cache, never a lazy parquet scan
+    kept_small = (
+        store.join(victims.select("doc_id"), "doc_id", "left_anti")
+        .where(F.col("shard").isin(shards))
+        .persist()
     )
-    kept_small = kept_small.persist()
     kept_small.count()
 
     tag_src = None
@@ -178,17 +181,18 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
         # reconstruct tag rows of the affected shards from the tags table
         tag_src = _tags_as_rows(spark, index_dir, shards, kept_small)
 
-    _rewrite_shards(spark, index_dir, m, kept_small, tag_src, shards)
+    # rebuilds postings + doc_stats (+tags) of the affected shards from
+    # the kept docs' re-analysis
+    _rewrite_shards(spark, index_dir, m,
+                    kept_small.select("doc_id", "url", "text", "lang"),
+                    tag_src, shards)
 
-    # write replacement doc tables BEFORE swapping anything
+    # write the replacement doc_map BEFORE swapping anything
     doc_map.join(victims.select("doc_id"), "doc_id", "left_anti") \
         .write.mode("overwrite").parquet(f"{index_dir}/doc_map_new")
-    stats = spark.read.parquet(f"{index_dir}/doc_stats")
-    stats.join(victims.select("doc_id"), "doc_id", "left_anti") \
-        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_stats_new")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    kept.where(F.col("shard").isin(shards)) \
-        .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+    kept_small.write.mode("overwrite").partitionBy("shard") \
+        .parquet(f"{index_dir}/doc_store")
     # dynamic partition overwrite only touches partitions PRESENT in the
     # written data: a shard whose docs were ALL removed produces zero
     # rows, leaving its old files alive — delete those partitions
@@ -204,7 +208,6 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
                 _sh.rmtree(f"{index_dir}/{table}/shard={s}", ignore_errors=True)
     kept_small.unpersist()
     _swap(spark, index_dir, "doc_map")
-    _swap(spark, index_dir, "doc_stats")
 
     m.update(doc_count=m["doc_count"] - n_removed, build_id=m["build_id"] + "+r")
     new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0]
@@ -247,14 +250,31 @@ def upsert_documents(spark: SparkSession, index_dir: str,
                     new_tag_rows.select("doc_id"), "doc_id", "left_anti"
                 ).unionByName(new_tag_rows)
             tag_src = old_tag_rows
+        # rebuilds postings + doc_stats (+tags) of the affected shards
+        # from the merged (updated ∪ untouched) re-analysis — doc_stats
+        # must track the new bodies or BM25 scores with stale lengths
         _rewrite_shards(spark, index_dir, m, merged, tag_src, shards)
-        # refresh doc_store + doc_stats rows for these shards
+        # refresh doc_store rows for these shards.  Materialize the new
+        # rows BEFORE the overwrite: the plan joins columns read from the
+        # same doc_store files the write replaces.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        new_store = merged.withColumn("shard", _shard_col(dps)) \
-            .join(store.select("doc_id", "warc_ts", "html"), "doc_id", "left")
-        new_store.select(*store.columns) \
-            .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
+        carried = [c for c in store.columns
+                   if c not in ("doc_id", "url", "text", "lang", "shard")]
+        new_store = (
+            merged.withColumn("shard", _shard_col(dps))
+            .join(store.select("doc_id", *carried), "doc_id", "left")
+            .select(*store.columns)
+            .persist()
+        )
+        new_store.count()
+        new_store.write.mode("overwrite").partitionBy("shard") \
+            .parquet(f"{index_dir}/doc_store")
+        new_store.unpersist()
         m["build_id"] = m["build_id"] + "+u"
+        # re-analysis changed document lengths → avgdl must follow
+        new_avg = spark.read.parquet(f"{index_dir}/doc_stats") \
+            .agg(F.avg("wc")).collect()[0][0]
+        m["avgdl"] = float(new_avg or 0.0)
         _refresh_shard_metrics(spark, index_dir, m)
         _save_manifest(index_dir, m, "upsert")
 
@@ -288,12 +308,17 @@ def _tags_as_rows(spark, index_dir, shards, docs_small):
 
 
 def _rewrite_shards(spark, index_dir, manifest, docs_small, tag_rows, shards):
-    """Rebuild postings (+tags) partitions for the given shards only."""
+    """Rebuild postings + doc_stats (+tags) partitions for the given
+    shards only.  doc_stats is derived from the SAME analysis pass as the
+    postings so BM25 document lengths always track the bodies actually
+    indexed (an earlier version left stale wc rows behind on upsert —
+    the flagship scorer then used wrong lengths; ADVICE r1)."""
     dps = manifest["docs_per_shard"]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     terms = analyze_to_terms(docs_small, manifest.get("default_lang") or "",
                              manifest.get("analyzer_lang"))
     terms = terms.withColumn("shard", ((F.col("doc_id") - 1) / dps).cast("int"))
+    terms.persist()
     postings = (
         terms.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(64)))
         .groupBy("shard", "tb")
@@ -303,13 +328,26 @@ def _rewrite_shards(spark, index_dir, manifest, docs_small, tag_rows, shards):
         postings.repartitionByRange("shard").sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/postings")
     )
+    doc_stats = (
+        docs_small.select("doc_id").withColumn("shard", _shard_col(dps))
+        .join(terms.select("doc_id", "wc", "twc").distinct(), "doc_id", "left")
+        .fillna({"wc": 0, "twc": 0})
+    )
+    doc_stats.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{index_dir}/doc_stats"
+    )
     if tag_rows is not None and manifest.get("has_tags"):
+        # tag_rows may be decoded from the very tags files this write
+        # replaces (_tags_as_rows) — materialize before overwriting
         rows = tag_rows.select(F.explode("tags").alias("tag"), "doc_id") \
-            .withColumn("shard", _shard_col(dps))
+            .withColumn("shard", _shard_col(dps)).persist()
+        rows.count()
         (
             rows.groupBy("shard").applyInPandas(_pack_tags_kernel, schema=TAG_SCHEMA)
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/tags")
         )
+        rows.unpersist()
+    terms.unpersist()
 
 
 def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
@@ -370,7 +408,9 @@ def _swap(spark, index_dir, table):
 
 
 def _refresh_shard_metrics(spark, index_dir, manifest):
-    # refresh the global term statistics alongside the shard metrics
+    # refresh the global term statistics alongside the shard metrics;
+    # both aggregates touch only NARROW columns (term/shard/df/cf/bytes)
+    # — parquet column pruning means the posting blobs are never read
     postings = spark.read.parquet(f"{index_dir}/postings")
     (
         postings.groupBy("term")
@@ -383,12 +423,11 @@ def _refresh_shard_metrics(spark, index_dir, manifest):
     )
     _swap(spark, index_dir, "term_stats")
     rows = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .groupBy("shard")
+        postings.groupBy("shard")
         .agg(
             F.count("*").alias("n_terms"),
             F.sum("df").alias("n_postings"),
-            F.sum(F.length("doc_blob") + F.length("tf_blob") + F.length("pos_blob")).alias("bytes"),
+            F.sum("bytes").alias("bytes"),
         )
         .collect()
     )

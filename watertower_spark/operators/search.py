@@ -367,7 +367,7 @@ class SearchEngine:
 
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         if not query_tokens and not tags:
-            return self._materialize(empty, mode) if materialize else empty
+            return self._materialize(empty, mode, bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
 
@@ -380,7 +380,7 @@ class SearchEngine:
             resolved = self._resolve_terms(terms)
             if any(resolved[t] is None for t in terms):
                 # some term matches nothing anywhere → AND result is empty
-                return self._materialize(empty, mode) if materialize else empty
+                return self._materialize(empty, mode, bounded=True) if materialize else empty
             for t in terms:
                 df_global[t] = resolved[t][0]
                 cand_shards.update(resolved[t][1])
@@ -390,7 +390,7 @@ class SearchEngine:
                 and_shards &= set(resolved[t][1])
             if not and_shards:
                 # no shard contains every query term ⇒ no doc can either
-                return self._materialize(empty, mode) if materialize else empty
+                return self._materialize(empty, mode, bounded=True) if materialize else empty
             cand_shards = and_shards
             sel = self.postings.where(
                 F.col("term").isin(terms)
@@ -409,7 +409,7 @@ class SearchEngine:
             )
         if tags:
             if self.tags is None:
-                return self._materialize(empty, mode) if materialize else empty
+                return self._materialize(empty, mode, bounded=True) if materialize else empty
             # no global existence check needed: a tag absent from a shard
             # vetoes that shard in the kernel, so a tag absent everywhere
             # yields the empty result without an extra driver job
@@ -457,7 +457,7 @@ class SearchEngine:
                 results = results.limit(k)
         else:
             results = results.orderBy(F.col("score").asc(), F.col("doc_id").asc())
-        return self._materialize(results, mode) if materialize else results
+        return self._materialize(results, mode, bounded=k is not None) if materialize else results
 
     def _search_or(self, search_word: str, lang: str, k: int,
                    materialize: bool) -> DataFrame:
@@ -473,7 +473,7 @@ class SearchEngine:
         ) if search_word else {}
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         if not query_tokens:
-            return self._materialize(empty, "bm25") if materialize else empty
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
         sel = self.postings.where(F.col("term").isin(terms))
@@ -484,7 +484,7 @@ class SearchEngine:
             if v is not None:
                 cand_shards.update(v[1])
         if not df_global:  # no query term exists anywhere (OR → empty)
-            return self._materialize(empty, "bm25") if materialize else empty
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
 
         groups_df = sel.select(
             F.lit("term").alias("kind"), F.col("term").alias("name"),
@@ -505,19 +505,25 @@ class SearchEngine:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
-        return self._materialize(results, "bm25") if materialize else results
+        return self._materialize(results, "bm25", bounded=True) if materialize else results
 
-    def _materialize(self, results: DataFrame, mode: str) -> DataFrame:
-        """Join the (small) result set to doc_store — Q9/materialization
-        (database.go:540-558).  Broadcasting the result side keeps the big
-        table shuffle-free; the shard column prunes doc_store partitions."""
+    def _materialize(self, results: DataFrame, mode: str,
+                     bounded: bool = False) -> DataFrame:
+        """Join the result set to doc_store — Q9/materialization
+        (database.go:540-558).  When the result set is bounded (top-k),
+        broadcasting it keeps the big table shuffle-free and the shard
+        column prunes doc_store partitions; parity mode has NO limit
+        (reference Q8 returns all matches), so a head-term query over a
+        big corpus must shuffle-join instead of broadcasting an unbounded
+        set through the driver."""
         order = (
             [F.col("score").desc(), F.col("doc_id").asc()]
             if mode == "bm25"
             else [F.col("score").asc(), F.col("doc_id").asc()]
         )
+        right = F.broadcast(results) if bounded else results
         return (
-            self.doc_store.join(F.broadcast(results), ["doc_id", "shard"])
+            self.doc_store.join(right, ["doc_id", "shard"])
             .select("doc_id", "url", "score", "text", "lang")
             .orderBy(*order)
         )

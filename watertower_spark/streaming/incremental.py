@@ -14,7 +14,9 @@ the directory, then stop — the cron-style incremental crawl pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, functions as F
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
 
 from watertower_spark.operators.maintenance import append_documents
 from watertower_spark.sources.corpus import DOC_SCHEMA
@@ -25,20 +27,20 @@ def ingest_available(
     input_dir: str,
     index_dir: str,
     checkpoint_dir: str,
-    with_tags: bool = True,
+    tags_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> int:
-    """Drain input_dir into the index; returns number of micro-batches."""
+    """Drain input_dir into the index; returns number of micro-batches.
+
+    ``tags_fn``, when given, maps each micro-batch to its
+    ``(url, tags array<string>)`` sidecar — by default documents are
+    ingested untagged (tags are caller data, never synthesized here).
+    """
     n_batches = {"n": 0}
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tags = None
-        if with_tags:
-            tags = batch_df.select(
-                "url",
-                F.array(F.concat(F.lit("t"), F.pmod(F.xxhash64("url"), F.lit(8)))).alias("tags"),
-            )
+        tags = tags_fn(batch_df) if tags_fn is not None else None
         append_documents(batch_df.sparkSession, index_dir, batch_df, tags)
         n_batches["n"] += 1
 
