@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -71,7 +72,7 @@ def child(cpus: int) -> None:
     manifest = build_index(docs, tags, idx, default_lang="en",
                            docs_per_shard=max(256, -(-N_DOCS // 64)))
     build_sec = time.time() - t0
-    print(json.dumps({"phases": manifest.get("phase_seconds", {})}), file=sys.stderr)
+    phases = manifest.get("phase_seconds", {})
 
     eng = SearchEngine(spark, idx)
     queries = [
@@ -88,6 +89,7 @@ def child(cpus: int) -> None:
         "cpus": cpus, "docs": n, "build_sec": round(build_sec, 2),
         "build_docs_per_sec": round(n / build_sec, 1),
         "query_set_sec": round(query_sec, 2),
+        "phases": phases,
     }))
 
 
@@ -103,8 +105,16 @@ def main() -> None:
     runs: dict = {c: [] for c in LEVELS}
     for r in range(REPEATS):
         for cpus in LEVELS:
+            # CPU-pin each child to exactly `cpus` cores: a "cluster of N
+            # executors" brings N cores for EVERYTHING — task threads,
+            # shuffle/Arrow service, GC, parquet IO.  Unpinned local[N]
+            # lets the JVM's sidecar threads spill onto the host's idle
+            # cores, inflating the small level's throughput and
+            # understating scaling.  taskset makes the two levels honest
+            # 4-core vs 16-core machines.
+            pin = ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
             out = subprocess.run(
-                [sys.executable, __file__, "--child", str(cpus)],
+                pin + [sys.executable, __file__, "--child", str(cpus)],
                 capture_output=True, text=True, check=True,
                 env={**os.environ, "WT_SCALE_CORPUS": CORPUS},
             )

@@ -156,3 +156,46 @@ def test_analyze_query_language_fallback():
     q = analyze_query("POST requests", lang="en")
     assert set(q) == {"post", "request"}
     assert q["post"] == [0] and q["request"] == [1]
+
+
+def test_analyze_query_unregistered_language_falls_back_to_simple():
+    # ADVICE r1: index-side analysis degrades unregistered langs to
+    # 'simple'; the query path must mirror it or docs ingested under the
+    # fallback are unreachable via their own lang
+    q = analyze_query("POST Requests.", lang="de")
+    assert set(q) == {"post", "requests"}  # lowercased+trimmed, unstemmed
+
+
+def test_japanese_stop_words_and_pos_semantics():
+    """Reference JA semantics (nlp/japanese/japanese.go:14-47): kagome
+    Search-mode morphemes, POS drop 助詞/記号, 150-word stop list.
+    Goldens from japanese_test.go:8-47 — gated on a morphological
+    tokenizer being installed; the bigram fallback (no JA tokenizer in
+    this container) is exercised by test_more_parity instead."""
+    import pytest
+
+    from watertower_spark.analyzers import (
+        JA_STOP_WORDS,
+        find_analyzer,
+        ja_is_morphological,
+    )
+
+    # the stop list itself is always wired to the analyzer when
+    # morphological; spot-check reference members either way
+    for w in ("あそこ", "ながら", "貴方方", "私"):
+        assert w in JA_STOP_WORDS
+    assert len(JA_STOP_WORDS) == 134
+
+    if not ja_is_morphological():
+        a = find_analyzer("ja")
+        assert a.stop_words == frozenset()  # bigram fallback: no stop list
+        pytest.skip("no Japanese morphological tokenizer in this environment")
+
+    a = find_analyzer("ja")
+    assert a.stop_words == JA_STOP_WORDS
+    # japanese_test.go goldens (splitter output, before stop filtering)
+    assert a.splitter("") == []
+    assert a.splitter("すもももももももものうち") == ["すもも", "もも", "もも", "うち"]
+    assert a.splitter("人魚は、南の方の海にばかり棲んでいるのではありません。") == [
+        "人魚", "南", "方", "海", "棲ん", "いる", "の", "で", "あり", "ませ", "ん",
+    ]

@@ -1,0 +1,157 @@
+"""Engine API surface added in round 2: unique-key lookup (Q10),
+metadata/updated_at passthrough, JSON document-folder ingestion (S7),
+single-file index export/import (storage.go:390-418)."""
+
+import datetime as dt
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from watertower_spark.operators.index_build import build_index
+from watertower_spark.operators.search import SearchEngine
+from watertower_spark.sources import corpus
+
+_EPOCH = dt.datetime(2021, 6, 1, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def rich_index(spark, tmp_index_root):
+    """Index over docs that carry metadata + updated_at extras."""
+    rows = [
+        (
+            f"ex://{i:03d}",
+            _EPOCH,
+            b"<html/>",
+            f"Title {i}\n\nbody words alpha beta doc{i} common",
+            "en",
+            {"source": f"s{i % 2}", "rank": str(i)},
+            _EPOCH + dt.timedelta(days=i),
+        )
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "metadata map<string,string>, updated_at timestamp",
+    )
+    tags = docs.select("url", F.array(F.lit("all")).alias("tags"))
+    idx = f"{tmp_index_root}/rich_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=4)
+    return idx
+
+
+def test_find_by_key_and_unique_key_prefix(spark, rich_index):
+    eng = SearchEngine(spark, rich_index)
+    hit = eng.find_by_key("ex://003").collect()
+    assert len(hit) == 1
+    assert hit[0]["url"] == "ex://003"
+    assert hit[0]["score"] == 0.0
+    assert "doc3" in hit[0]["text"]
+    # the `unique_key:` query prefix routes to the same path
+    # (handlers.go:100-145)
+    via_q = eng.search("unique_key:ex://003").collect()
+    assert [r["url"] for r in via_q] == ["ex://003"]
+    # miss → empty frame with the same schema
+    miss = eng.find_by_key("ex://nope")
+    assert miss.count() == 0
+    assert miss.columns == eng.find_by_key("ex://003").columns
+
+
+def test_metadata_and_updated_at_roundtrip(spark, rich_index):
+    """Reference Document carries metadata map + updated_at
+    (entity.go:9-24); both must survive doc_store and surface in
+    materialized results."""
+    eng = SearchEngine(spark, rich_index)
+    res = eng.search("doc4", None, "en", mode="bm25", k=3).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["metadata"] == {"source": "s0", "rank": "4"}
+    # collect() returns session-tz-naive datetimes; compare instants
+    assert r["updated_at"].replace(tzinfo=dt.timezone.utc) == _EPOCH + dt.timedelta(days=4)
+    # and through the key-lookup path too
+    k = eng.find_by_key("ex://004").collect()[0]
+    assert k["metadata"]["rank"] == "4"
+
+
+def test_json_doc_dir_ingestion(spark, tmp_index_root):
+    """S7: reference CLI create-index over a folder of Document JSON
+    files (cmd/watertower-cli/main.go:53-81): unique_key defaults to the
+    file path, force-language overrides lang."""
+    src = f"{tmp_index_root}/json_docs"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(f"{src}/sub", exist_ok=True)
+    docs_json = [
+        ("a.json", {"unique_key": "k/alpha", "title": "Alpha Doc",
+                    "content": "quick brown fox content", "lang": "en",
+                    "tags": ["t1"], "metadata": {"m": "1"}}),
+        ("b.json", {"title": "Beta Doc",  # no unique_key → path
+                    "content": "lazy dog content", "lang": "en"}),
+        ("sub/c.json", {"unique_key": "k/gamma", "title": "Gamma",
+                        "content": "unrelated words", "lang": ""}),
+    ]
+    for name, payload in docs_json:
+        with open(f"{src}/{name}", "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+
+    docs, tags = corpus.read_json_doc_dir(spark, src)
+    got = {r["url"]: r for r in docs.collect()}
+    assert "k/alpha" in got and "k/gamma" in got
+    # defaulted unique_key is the file path
+    path_keys = [u for u in got if u.endswith("b.json")]
+    assert len(path_keys) == 1
+    assert got["k/alpha"]["text"] == "Alpha Doc\n\nquick brown fox content"
+    assert got["k/alpha"]["metadata"] == {"m": "1"}
+    tag_map = {r["url"]: r["tags"] for r in tags.collect()}
+    assert tag_map["k/alpha"] == ["t1"]
+    assert tag_map["k/gamma"] == []
+
+    # force-language (the --force-language flag)
+    forced, _ = corpus.read_json_doc_dir(spark, src, force_language="en")
+    assert {r["lang"] for r in forced.collect()} == {"en"}
+
+    # and the folder builds + searches end-to-end
+    idx = f"{tmp_index_root}/json_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=4)
+    eng = SearchEngine(spark, idx)
+    assert [r["url"] for r in eng.search("fox", None, "en").collect()] == ["k/alpha"]
+
+
+def test_export_import_roundtrip(spark, tmp_index_root):
+    """Single-file deployment mode (WriteIndex/ReadIndex,
+    storage.go:390-418): export → import → identical search results."""
+    from watertower_spark.operators.bundle import export_index, import_index
+
+    rows = corpus.fixture_rows(("searchdata",))
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA,
+    )
+    tags = spark.createDataFrame(
+        [(r["url"], r["tags"]) for r in rows], schema=corpus.TAG_SCHEMA
+    )
+    idx = f"{tmp_index_root}/bundle_src"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=3)
+
+    bundle = f"{tmp_index_root}/index.wtidx"
+    export_index(idx, bundle)
+    assert os.path.getsize(bundle) > 0
+
+    dest = f"{tmp_index_root}/bundle_dst"
+    shutil.rmtree(dest, ignore_errors=True)
+    import_index(bundle, dest)
+
+    eng_a = SearchEngine(spark, idx)
+    eng_b = SearchEngine(spark, dest)
+    for q, tg, mode in [("request", None, "parity"), ("server", None, "bm25"),
+                        ("", ["NoBody"], "parity")]:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in eng_a.search(q, tg, "en", mode=mode, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in eng_b.search(q, tg, "en", mode=mode, k=10).collect()]
+        assert a == b and a

@@ -70,16 +70,12 @@ def test_all_gate_queries_covered(gate_queries):
     assert len(qs) >= 15
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "doc_id_map", "term_stats", "doc_stats", "and_search", "phrase_search",
-        "tfidf_search", "bm25_topk", "tag_index", "exact_dedup", "token_count",
-        "text_quality", "lang_id", "ngram_jaccard", "embedding_knn",
-        "engine_tfidf", "engine_bm25", "engine_bm25_or", "engine_phrase",
-        "embedding_near_dup", "ann_lsh_topk",
-        "minhash_pairs", "simhash_codes",
-    ],
-)
+def _all_query_names():
+    from watertower_spark.gate import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_query_names())
 def test_gate_query(spark, duck, gate_queries, name):
     _run_one(spark, duck, gate_queries, name)

@@ -95,23 +95,51 @@ register_analyzer("unigram", unigram_splitter, None)
 register_analyzer("bigram", bigram_splitter, None)
 
 
+# The reference's 150-word Japanese stop list (nlp/japanese/japanese.go:
+# 16-29, sourced from the public stopwords-iso/stopwords-ja set).  It
+# applies to MORPHEMES, so it is only meaningful when a morphological
+# tokenizer is present — on the bigram fallback it would wrongly drop
+# character pairs spanning word boundaries.
+JA_STOP_WORDS = frozenset(
+    "あそこ あっ あの あのかた あの人 あり あります ある あれ い いう います いる う うち "
+    "え お および おり おります か かつて から が き ここ こちら こと この これ これら "
+    "さ さらに し しかし する ず せ せる そこ そして その その他 その後 それ それぞれ "
+    "それで た ただし たち ため たり だ だっ だれ つ て で でき できる です では でも "
+    "と という といった とき ところ として とともに とも と共に どこ どの な ない なお "
+    "なかっ ながら なく なっ など なに なら なり なる なん に において における について "
+    "にて によって により による に対して に対する に関する の ので のみ は ば へ ほか "
+    "ほとんど ほど ます また または まで も もの ものの や よう より ら られ られる れ "
+    "れる を ん 何 及び 彼 彼女 我々 特に 私 私達 貴方 貴方方".split()
+)
+
+# POS categories the reference drops before indexing (japanese.go:33:
+# kagome POSFilter on 助詞 particles and 記号 symbols)
+_JA_POS_DROP = ("助詞", "記号")
+
+
 def _register_japanese() -> None:
-    """'ja': the reference uses kagome morphological analysis
+    """'ja': the reference uses kagome morphological analysis in Search
+    mode with a POS drop of 助詞/記号 and the stop list above
     (nlp/japanese/japanese.go:14-47).  No Japanese tokenizer ships in
-    this container, so we try the common libraries and fall back to
-    character bigrams — a standard CJK indexing strategy whose phrase
-    semantics still make contiguous-substring queries match.  Marked
-    out of rank-identity scope (SURVEY.md §2.2/A5).
+    this container, so we port the same semantics over the common Python
+    morphological analyzers (janome / fugashi+MeCab) when one is
+    importable, and fall back to character bigrams otherwise — a
+    standard CJK indexing strategy whose phrase semantics still make
+    contiguous-substring queries match, but outside rank-identity scope
+    (SURVEY.md §2.2/A5).
     """
     try:
         from janome.tokenizer import Tokenizer as _Janome  # type: ignore
 
-        _tok = _Janome(wakati=True)
+        _tok = _Janome()
 
         def ja_splitter(content: str) -> list:
-            return [w for w in _tok.tokenize(content)]
+            return [
+                t.surface for t in _tok.tokenize(content)
+                if t.part_of_speech.split(",")[0] not in _JA_POS_DROP
+            ]
 
-        register_analyzer("ja", ja_splitter, None)
+        register_analyzer("ja", ja_splitter, None, JA_STOP_WORDS)
         return
     except ImportError:
         pass
@@ -121,9 +149,12 @@ def _register_japanese() -> None:
         _tagger = _Tagger()
 
         def ja_splitter(content: str) -> list:
-            return [w.surface for w in _tagger(content)]
+            return [
+                w.surface for w in _tagger(content)
+                if getattr(w.feature, "pos1", None) not in _JA_POS_DROP
+            ]
 
-        register_analyzer("ja", ja_splitter, None)
+        register_analyzer("ja", ja_splitter, None, JA_STOP_WORDS)
         return
     except ImportError:
         pass
@@ -131,6 +162,13 @@ def _register_japanese() -> None:
 
 
 _register_japanese()
+
+
+def ja_is_morphological() -> bool:
+    """True when 'ja' is backed by a real morphological tokenizer (the
+    kagome-equivalent goldens are gated on this; otherwise the bigram
+    fallback is active and those tests skip)."""
+    return _REGISTRY["ja"].splitter is not bigram_splitter
 
 
 # ------------------------------------------------------------- tokenization

@@ -327,10 +327,12 @@ FROM documents
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 100."""
+    """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 300.
+    (Window/threshold chosen so the oracle compares NON-empty result
+    sets at sf0.001 and sf0.01 — a 0==0 pass proves nothing.)"""
     from pyspark.sql import Window
 
-    t = tokens(spark, sf_dir).where(F.col("doc_id") < 100)
+    t = tokens(spark, sf_dir).where(F.col("doc_id") < 300)
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
         t.withColumn("t2", F.lead("term", 1).over(w))
@@ -350,7 +352,7 @@ def q_ngram_jaccard(spark, sf_dir):
         pairs.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
         .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
-        .where(F.col("jaccard") >= 0.05)
+        .where(F.col("jaccard") >= 0.5)
         .select("da", "db", "jaccard")
     )
 
@@ -359,7 +361,7 @@ ORACLE_NGRAM_JACCARD = TOK_CTE + """
 , sh AS (
   SELECT DISTINCT doc_id,
          term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
-  FROM tok WHERE doc_id < 100
+  FROM tok WHERE doc_id < 300
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
@@ -370,7 +372,7 @@ pairs AS (
 )
 SELECT da, db, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
 FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
 """
 
 
@@ -536,6 +538,37 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_engine_bm25_or_tag(spark, sf_dir):
+    """Disjunctive BM25 with a conjunctive tag filter (ES bool-filter
+    shape, handlers.go:149-155): OR over the scored terms, docs must
+    carry the tag."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("scan vector", ["src3"], mode="bm25", operator="or", k=200)
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_BM25_OR_TAG = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('scan', 'vector') GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_engine_phrase(spark, sf_dir):
     """Engine phrase verification kernel vs SQL adjacency."""
     eng = _engine(spark, sf_dir)
@@ -547,6 +580,19 @@ ORACLE_ENGINE_PHRASE = TOK_CTE + """
 SELECT DISTINCT a.doc_id AS doc_id
 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'hash' AND b.term = 'join'
+"""
+
+
+def q_engine_find_by_key(spark, sf_dir):
+    """Exact unique-key lookup (Q10; handlers.go:100-145 `q=unique_key:…`)
+    vs a SQL point select — the KV-get path every deployment hits."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("unique_key:doc://000000000042")
+    return res.select(_url_to_doc_id(F.col("url")), "text")
+
+
+ORACLE_ENGINE_FIND_BY_KEY = """
+SELECT doc_id, text FROM documents WHERE doc_id = 42
 """
 
 
@@ -635,7 +681,9 @@ QUERIES: dict = {
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
     "engine_bm25_or": (q_engine_bm25_or, ORACLE_ENGINE_BM25_OR),
+    "engine_bm25_or_tag": (q_engine_bm25_or_tag, ORACLE_ENGINE_BM25_OR_TAG),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
+    "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "minhash_pairs": (q_minhash_pairs, None),

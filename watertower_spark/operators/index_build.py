@@ -387,8 +387,13 @@ def build_index(
         doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
 
     def w_doc_store():
+        # raw html is NOT copied into the index: materialization returns
+        # extracted text; at web scale the search index must not clone
+        # the crawl lake's heaviest column.  (Any OTHER extra input
+        # columns — metadata, updated_at — pass through untouched.)
         (
-            docs_w.withColumn("shard", shard_col)
+            docs_w.drop("html")
+            .withColumn("shard", shard_col)
             .repartitionByRange(n_shards, "shard")  # one file per shard dir
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
         )
@@ -410,11 +415,12 @@ def build_index(
         "analyzer_lang": analyzer_lang,
         "bm25": {"k1": BM25_K1, "b": BM25_B},
         "has_tags": tags is not None,
+        "tables": {},
         "shards": {},
     }
-    os.makedirs(f"{index_dir}/_meta", exist_ok=True)
-    with open(f"{index_dir}/_meta/manifest.json", "w") as f:
-        json.dump(skeleton, f, indent=1)
+    from watertower_spark.functions import fsio
+
+    fsio.write_json(f"{index_dir}/_meta/manifest.json", skeleton)
     mark("doc_tables")
 
     # Wave 2: postings (the long pole), tags, plus the term_stats write
@@ -500,8 +506,7 @@ def build_index(
         build_seconds=round(time.time() - t0, 3),
         phase_seconds=phases,
     )
-    with open(f"{index_dir}/_meta/manifest.json", "w") as f:
-        json.dump(manifest, f, indent=1)
+    fsio.write_json(f"{index_dir}/_meta/manifest.json", manifest)
     append_snapshot(index_dir, manifest, "build")
 
     seg.unpersist()
@@ -511,8 +516,19 @@ def build_index(
 
 
 def load_manifest(index_dir: str) -> dict:
-    with open(f"{index_dir}/_meta/manifest.json") as f:
-        return json.load(f)
+    from watertower_spark.functions import fsio
+
+    return fsio.read_json(f"{index_dir}/_meta/manifest.json")
+
+
+def table_path(index_dir: str, manifest: dict, name: str) -> str:
+    """Resolve a table's physical directory through the manifest's
+    versioned-pointer map.  Replaced tables (term_stats, doc_map) get a
+    new `<name>_v{n}` directory per mutation and the pointer flips —
+    rename-free, so correct on object stores where rename is copy+delete
+    and not atomic.  Partition-overwritten tables (postings, doc_stats,
+    doc_store, tags) keep their fixed names."""
+    return f"{index_dir}/{manifest.get('tables', {}).get(name, name)}"
 
 
 def append_snapshot(index_dir: str, manifest: dict, op: str) -> None:
@@ -520,6 +536,8 @@ def append_snapshot(index_dir: str, manifest: dict, op: str) -> None:
     line (op, build_id, doc_count, shard count, per-shard byte totals) to
     _meta/snapshots.jsonl — the audit trail for resume/lineage questions
     ('which build wrote shard 17, and how many postings did it carry?')."""
+    from watertower_spark.functions import fsio
+
     rec = {
         "op": op,
         "build_id": manifest.get("build_id"),
@@ -532,13 +550,13 @@ def append_snapshot(index_dir: str, manifest: dict, op: str) -> None:
             s.get("bytes", 0) for s in manifest.get("shards", {}).values()
         ),
     }
-    with open(f"{index_dir}/_meta/snapshots.jsonl", "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    fsio.append_line(f"{index_dir}/_meta/snapshots.jsonl", json.dumps(rec))
 
 
 def snapshot_history(index_dir: str) -> list:
+    from watertower_spark.functions import fsio
+
     path = f"{index_dir}/_meta/snapshots.jsonl"
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    return [json.loads(line) for line in fsio.read_text(path).splitlines() if line.strip()]

@@ -27,10 +27,7 @@ which is unsound when avgdl rises.)
 
 from __future__ import annotations
 
-import json
 import math
-import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -46,14 +43,27 @@ from .index_build import (
 
 
 def _save_manifest(index_dir: str, manifest: dict, op: str = "update") -> None:
+    from watertower_spark.functions import fsio
+
     from .index_build import append_snapshot
 
-    os.makedirs(f"{index_dir}/_meta", exist_ok=True)
-    tmp = f"{index_dir}/_meta/manifest.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, f"{index_dir}/_meta/manifest.json")
+    fsio.write_json(f"{index_dir}/_meta/manifest.json", manifest)
     append_snapshot(index_dir, manifest, op)
+
+
+def _publish_table(index_dir: str, manifest: dict, name: str, write_fn) -> str:
+    """Replace a whole table OBJECT-STORE-SAFELY: write the new contents
+    into a fresh versioned directory, flip the manifest pointer (readers
+    resolve via ``table_path``), and return the superseded directory for
+    the caller to garbage-collect AFTER the manifest commit.  No rename
+    anywhere — rename is copy+delete and non-atomic on S3/GCS."""
+    tables = manifest.setdefault("tables", {})
+    cur = tables.get(name, name)
+    ver = int(cur.rsplit("_v", 1)[1]) + 1 if "_v" in cur else 1
+    new = f"{name}_v{ver}"
+    write_fn(f"{index_dir}/{new}")
+    tables[name] = new
+    return f"{index_dir}/{cur}"
 
 
 def _shard_col(docs_per_shard: int):
@@ -110,11 +120,14 @@ def append_documents(spark: SparkSession, index_dir: str,
                      new_docs: DataFrame, new_tags: DataFrame | None = None) -> dict:
     """Incrementally add documents.  New ids start at the next shard
     boundary so existing shard files are never touched."""
+    from .index_build import table_path
+
     m = load_manifest(index_dir)
     dps = m["docs_per_shard"]
     base = m["n_shards"] * dps  # ids base (0-based) → first id = base+1
 
-    existing = spark.read.parquet(f"{index_dir}/doc_map").select("url")
+    doc_map_dir = table_path(index_dir, m, "doc_map")
+    existing = spark.read.parquet(doc_map_dir).select("url")
     fresh = new_docs.join(existing, "url", "left_anti")
 
     ids = assign_doc_ids(fresh, num_ranges=16).withColumn(
@@ -129,7 +142,7 @@ def append_documents(spark: SparkSession, index_dir: str,
     doc_stats, release_terms = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
     doc_stats.write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
     release_terms()
-    ids.write.mode("append").parquet(f"{index_dir}/doc_map")
+    ids.write.mode("append").parquet(doc_map_dir)
     docs_w.withColumn("shard", _shard_col(dps)) \
         .write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_store")
 
@@ -141,17 +154,22 @@ def append_documents(spark: SparkSession, index_dir: str,
         n_shards=max(m["n_shards"], math.ceil((base + n_new) / dps)),
         build_id=m["build_id"] + "+a",
     )
-    _refresh_shard_metrics(spark, index_dir, m)
+    gc = _refresh_shard_metrics(spark, index_dir, m)
     _save_manifest(index_dir, m, "append")
+    _gc_dirs(gc)
     return m
 
 
 def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
     """Remove documents by url: rewrite doc_map/doc_stats/doc_store minus
     the victims, rebuild ONLY the affected shard partitions (I10)."""
+    from watertower_spark.functions import fsio
+
+    from .index_build import table_path
+
     m = load_manifest(index_dir)
     dps = m["docs_per_shard"]
-    doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+    doc_map = spark.read.parquet(table_path(index_dir, m, "doc_map"))
     # materialize the victim set to break lineage: later rewrites replace
     # the very files doc_map reads from (lazy plans must not re-scan them)
     tmp_victims = f"{index_dir}/_tmp_victims"
@@ -159,9 +177,7 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     victims = spark.read.parquet(tmp_victims)
     shards = [r["shard"] for r in victims.select(_shard_col(dps)).distinct().collect()]
     if not shards:
-        import shutil as _sh
-
-        _sh.rmtree(tmp_victims, ignore_errors=True)
+        fsio.delete_dir(tmp_victims)
         return m
     n_removed = victims.count()
 
@@ -187,9 +203,13 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
                     kept_small.select("doc_id", "url", "text", "lang"),
                     tag_src, shards)
 
-    # write the replacement doc_map BEFORE swapping anything
-    doc_map.join(victims.select("doc_id"), "doc_id", "left_anti") \
-        .write.mode("overwrite").parquet(f"{index_dir}/doc_map_new")
+    # publish the replacement doc_map into a fresh versioned dir (no
+    # rename/rmtree of the live table — object-store safe)
+    gc = [_publish_table(
+        index_dir, m, "doc_map",
+        lambda path: doc_map.join(victims.select("doc_id"), "doc_id", "left_anti")
+        .write.mode("overwrite").parquet(path),
+    )]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     kept_small.write.mode("overwrite").partitionBy("shard") \
         .parquet(f"{index_dir}/doc_store")
@@ -200,23 +220,19 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     surviving = {
         r["shard"] for r in kept_small.select(_shard_col(dps)).distinct().collect()
     }
-    import shutil as _sh
-
     for s in shards:
         if s not in surviving:
             for table in ("postings", "doc_store", "tags", "doc_stats"):
-                _sh.rmtree(f"{index_dir}/{table}/shard={s}", ignore_errors=True)
+                fsio.delete_dir(f"{index_dir}/{table}/shard={s}")
     kept_small.unpersist()
-    _swap(spark, index_dir, "doc_map")
 
     m.update(doc_count=m["doc_count"] - n_removed, build_id=m["build_id"] + "+r")
     new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0]
     m["avgdl"] = float(new_avg[0] or 0.0)
-    _refresh_shard_metrics(spark, index_dir, m)
+    gc += _refresh_shard_metrics(spark, index_dir, m)
     _save_manifest(index_dir, m, "remove")
-    import shutil as _sh
-
-    _sh.rmtree(tmp_victims, ignore_errors=True)
+    gc.append(tmp_victims)
+    _gc_dirs(gc)
     return m
 
 
@@ -224,9 +240,11 @@ def upsert_documents(spark: SparkSession, index_dir: str,
                      docs: DataFrame, tags: DataFrame | None = None) -> dict:
     """PostDocument semantics (I1): existing urls keep their doc_id and get
     re-analyzed in place (affected shards rebuilt); new urls append."""
+    from .index_build import table_path
+
     m = load_manifest(index_dir)
     dps = m["docs_per_shard"]
-    doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+    doc_map = spark.read.parquet(table_path(index_dir, m, "doc_map"))
     updated = docs.join(doc_map, "url")  # (url, ..., doc_id) — keeps old id
     n_upd = updated.count()
     if n_upd:
@@ -275,8 +293,9 @@ def upsert_documents(spark: SparkSession, index_dir: str,
         new_avg = spark.read.parquet(f"{index_dir}/doc_stats") \
             .agg(F.avg("wc")).collect()[0][0]
         m["avgdl"] = float(new_avg or 0.0)
-        _refresh_shard_metrics(spark, index_dir, m)
+        gc = _refresh_shard_metrics(spark, index_dir, m)
         _save_manifest(index_dir, m, "upsert")
+        _gc_dirs(gc)
 
     fresh = docs.join(doc_map, "url", "left_anti")
     if fresh.limit(1).count():
@@ -362,7 +381,9 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
       actually missing;
     - phase 'committed' → no-op.
     """
-    from .index_build import build_index
+    from watertower_spark.functions import fsio
+
+    from .index_build import build_index, table_path
 
     try:
         m = load_manifest(index_dir)
@@ -371,14 +392,7 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
     if m.get("phase") == "committed":
         return m
 
-    present = set()
-    postings_dir = f"{index_dir}/postings"
-    if os.path.isdir(postings_dir):
-        for d in os.listdir(postings_dir):
-            if d.startswith("shard=") and any(
-                f.endswith(".parquet") for f in os.listdir(os.path.join(postings_dir, d))
-            ):
-                present.add(int(d.split("=")[1]))
+    present = set(fsio.list_shard_dirs(f"{index_dir}/postings"))
     missing = sorted(set(range(m["n_shards"])) - present)
     if missing:
         dps = m["docs_per_shard"]
@@ -388,40 +402,48 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
         )
         tag_rows = None
         if tags is not None and m.get("has_tags"):
-            doc_map = spark.read.parquet(f"{index_dir}/doc_map")
+            doc_map = spark.read.parquet(table_path(index_dir, m, "doc_map"))
             tag_rows = tags.join(doc_map, "url").select("doc_id", "tags").join(
                 todo.select("doc_id"), "doc_id"
             )
         _rewrite_shards(spark, index_dir, m, todo, tag_rows, missing)
     m["phase"] = "committed"
     m["build_id"] = m["build_id"] + "+res"
-    _refresh_shard_metrics(spark, index_dir, m)
+    gc = _refresh_shard_metrics(spark, index_dir, m)
     _save_manifest(index_dir, m, "resume")
+    _gc_dirs(gc)
     return m
 
 
-def _swap(spark, index_dir, table):
-    import shutil
+def _gc_dirs(paths: list) -> None:
+    """Best-effort removal of superseded versioned table dirs — AFTER the
+    manifest commit, so a crash mid-mutation leaves the old version
+    readable via the old manifest."""
+    from watertower_spark.functions import fsio
 
-    shutil.rmtree(f"{index_dir}/{table}", ignore_errors=True)
-    os.rename(f"{index_dir}/{table}_new", f"{index_dir}/{table}")
+    for p in paths:
+        fsio.delete_dir(p)
 
 
-def _refresh_shard_metrics(spark, index_dir, manifest):
+def _refresh_shard_metrics(spark, index_dir, manifest) -> list:
     # refresh the global term statistics alongside the shard metrics;
     # both aggregates touch only NARROW columns (term/shard/df/cf/bytes)
-    # — parquet column pruning means the posting blobs are never read
+    # — parquet column pruning means the posting blobs are never read.
+    # Returns superseded table dirs for the caller to delete AFTER the
+    # manifest commit.
     postings = spark.read.parquet(f"{index_dir}/postings")
-    (
-        postings.groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.sort_array(F.collect_set("shard")).alias("shards"),
-        )
-        .write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
+    old = _publish_table(
+        index_dir, manifest, "term_stats",
+        lambda path: (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.sort_array(F.collect_set("shard")).alias("shards"),
+            )
+            .write.mode("overwrite").parquet(path)
+        ),
     )
-    _swap(spark, index_dir, "term_stats")
     rows = (
         postings.groupBy("shard")
         .agg(
@@ -439,3 +461,4 @@ def _refresh_shard_metrics(spark, index_dir, manifest):
         }
         for r in rows
     }
+    return [old]

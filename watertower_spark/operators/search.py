@@ -299,19 +299,23 @@ class SearchEngine:
                 f"index at {index_dir} has format_version={got}, "
                 f"engine expects {FORMAT_VERSION} — rebuild the index"
             )
+        from watertower_spark.functions import fsio
+
+        from .index_build import table_path
+
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
         self.doc_store = spark.read.parquet(f"{index_dir}/doc_store")
         self.tags = (
             spark.read.parquet(f"{index_dir}/tags") if self.manifest.get("has_tags") else None
         )
-        import os as _os
-
+        # replaced tables resolve through the manifest's versioned
+        # pointers (object-store-safe publish; see maintenance)
+        ts_path = table_path(index_dir, self.manifest, "term_stats")
         self.term_stats = (
-            spark.read.parquet(f"{index_dir}/term_stats")
-            if _os.path.isdir(f"{index_dir}/term_stats")
-            else None
+            spark.read.parquet(ts_path) if fsio.exists(ts_path) else None
         )
+        self._doc_map_path = table_path(index_dir, self.manifest, "doc_map")
         self._stats_cache: dict = {}
 
     def _resolve_terms(self, terms: list) -> dict:
@@ -350,11 +354,19 @@ class SearchEngine:
         (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
         switches to disjunctive top-k with vectorized maxscore pruning.
         Returns a DataFrame ordered by the mode's contract.
+
+        ``search_word`` starting with ``unique_key:`` switches to the
+        reference's exact-key lookup path (webapi/restapi/handlers.go:
+        100-145): the remainder is the unique key (our url), matched
+        exactly, bypassing analysis and scoring entirely.
         """
+        if search_word and search_word.startswith("unique_key:"):
+            return self.find_by_key(search_word[len("unique_key:"):])
         if operator == "or":
-            if mode != "bm25" or tags:
-                raise ValueError("operator='or' supports mode='bm25' without tags")
-            return self._search_or(search_word, lang, k or 10, materialize)
+            if mode != "bm25":
+                raise ValueError("operator='or' supports mode='bm25' only")
+            return self._search_or(search_word, list(tags or []), lang,
+                                   k or 10, materialize)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -459,9 +471,40 @@ class SearchEngine:
             results = results.orderBy(F.col("score").asc(), F.col("doc_id").asc())
         return self._materialize(results, mode, bounded=k is not None) if materialize else results
 
-    def _search_or(self, search_word: str, lang: str, k: int,
+    def find_by_key(self, url: str) -> DataFrame:
+        """Exact unique-key lookup (Q10; FindDocumentByKey,
+        database.go:561-583): url → the one document, or empty.
+
+        KV-get shape, not a join: resolve doc_id from doc_map (driver-side
+        point filter — parquet min/max row-group pruning applies since
+        doc_map files are written in url-ranged groups), then read ONE
+        doc_store shard partition pruned by both shard and doc_id.
+        Returns the materialized result schema with score 0.0 (the
+        reference path carries no score)."""
+        spark = self.spark
+        dps = int(self.manifest["docs_per_shard"])
+        hit = (
+            spark.read.parquet(self._doc_map_path)
+            .where(F.col("url") == url).limit(1).collect()
+        )
+        if not hit:
+            return self.doc_store.where(F.lit(False)).select(
+                "doc_id", "url", F.lit(0.0).alias("score"), "text", "lang",
+                *self._extra_doc_cols()
+            )
+        doc_id = int(hit[0]["doc_id"])
+        shard = (doc_id - 1) // dps
+        return (
+            self.doc_store
+            .where((F.col("shard") == shard) & (F.col("doc_id") == doc_id))
+            .select("doc_id", "url", F.lit(0.0).alias("score"), "text", "lang",
+                    *self._extra_doc_cols())
+        )
+
+    def _search_or(self, search_word: str, tags: list, lang: str, k: int,
                    materialize: bool) -> DataFrame:
-        """Disjunctive BM25 top-k (operators/wand.py kernel)."""
+        """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
+        stay conjunctive (ES bool-filter semantics)."""
         from watertower_spark.analyzers import analyze_query
         from .wand import make_or_kernel
 
@@ -472,7 +515,7 @@ class SearchEngine:
             search_word, analyzer_lang or lang, default_lang
         ) if search_word else {}
         empty = spark.createDataFrame([], RESULT_SCHEMA)
-        if not query_tokens:
+        if not query_tokens or (tags and self.tags is None):
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
@@ -491,12 +534,25 @@ class SearchEngine:
             "shard", "df", "doc_blob", "tf_blob", "block_off",
             "block_max_tf", "block_min_dl",
         )
+        if tags:
+            tag_sel = self.tags.where(F.col("tag").isin(tags))
+            groups_df = groups_df.unionByName(
+                tag_sel.select(
+                    F.lit("tag").alias("kind"), F.col("tag").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "block_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
         stats_side = self.doc_stats.where(
             F.col("shard").isin([int(s) for s in cand_shards])
         )
         kernel = make_or_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
-            float(self.manifest["avgdl"]), k,
+            float(self.manifest["avgdl"]), k, n_tags=len(set(tags)),
         )
         results = (
             groups_df.groupBy("shard")
@@ -524,6 +580,16 @@ class SearchEngine:
         right = F.broadcast(results) if bounded else results
         return (
             self.doc_store.join(right, ["doc_id", "shard"])
-            .select("doc_id", "url", "score", "text", "lang")
+            .select("doc_id", "url", "score", "text", "lang",
+                    *self._extra_doc_cols())
             .orderBy(*order)
         )
+
+    def _extra_doc_cols(self) -> list:
+        """Document passthrough columns beyond the core shape — the
+        reference Document carries metadata map<string,string> and an
+        updated_at timestamp (entity.go:9-24, document-schema.json);
+        any such columns present in doc_store ride along in materialized
+        results."""
+        return [c for c in ("metadata", "updated_at")
+                if c in self.doc_store.columns]

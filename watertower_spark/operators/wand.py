@@ -38,8 +38,15 @@ def _bm25(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarra
 
 
 def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
-                   avgdl: float, k: int):
-    """Per-shard cogroup kernel for disjunctive BM25 top-k."""
+                   avgdl: float, k: int, n_tags: int = 0):
+    """Per-shard cogroup kernel for disjunctive BM25 top-k.
+
+    Tags are CONJUNCTIVE filters even in OR mode (Elasticsearch bool
+    `filter` semantics, the reference's query shape in
+    webapi/restapi/handlers.go:149-155): a doc must carry every filter
+    tag; the OR disjunction applies to the scored terms only.  The tag
+    restriction is applied at posting-decode time so the maxscore θ
+    bootstrap is a valid lower bound over the FILTERED corpus."""
 
     def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
         from watertower_spark.functions import codec
@@ -49,6 +56,20 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                               "shard": pd.Series(dtype="int32"),
                               "score": pd.Series(dtype="float64")})
         if groups_pdf.empty:
+            return empty
+
+        tag_blobs = [row.doc_blob for row in groups_pdf.itertuples(index=False)
+                     if row.kind == "tag"]
+        # every filter tag must exist in this shard or the shard is out
+        if len(tag_blobs) < n_tags:
+            return empty
+        allowed = None
+        for blob in tag_blobs:
+            ids = codec.decode_sorted(blob)
+            allowed = ids if allowed is None else allowed[
+                np.isin(allowed, ids, assume_unique=True)
+            ]
+        if allowed is not None and allowed.size == 0:
             return empty
 
         if not stats_pdf.empty:
@@ -90,6 +111,9 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                     {"doc_blob": row.doc_blob, "tf_blob": row.tf_blob,
                      "block_off": row.block_off, "df": row.df}
                 )
+                if allowed is not None:
+                    keep = np.isin(ids, allowed, assume_unique=True)
+                    ids, tfs = ids[keep], tfs[keep]
                 decoded[row.name] = (ids, tfs)
             return decoded[row.name]
 

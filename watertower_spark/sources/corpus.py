@@ -264,6 +264,59 @@ def corpus_df(spark, corpora=("searchdata",), n_synth: int = 0, seed: int = 42):
     return docs, tags
 
 
+JSON_DOC_SCHEMA = (
+    "unique_key string, lang string, title string, updated_at timestamp, "
+    "tags array<string>, content string, metadata map<string,string>"
+)
+
+
+def read_json_doc_dir(spark, input_dir: str, force_language: str | None = None):
+    """Reference-CLI document-folder ingestion (S7; cmd/watertower-cli/
+    main.go:53-81): every file under ``input_dir`` (recursively) is one
+    watertower Document JSON (entity.go:9-24).  ``unique_key`` defaults
+    to the file path when absent; ``force_language`` overrides ``lang``
+    (the --force-language flag).  Returns ``(docs, tags)``: docs in the
+    engine input shape plus metadata/updated_at passthrough columns.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.schema(JSON_DOC_SCHEMA)
+        .option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .json(input_dir)
+        .withColumn("_path", F.input_file_name())
+    )
+    key = F.when(
+        F.col("unique_key").isNull() | (F.col("unique_key") == ""), F.col("_path")
+    ).otherwise(F.col("unique_key"))
+    lang = (
+        F.lit(force_language) if force_language
+        else F.coalesce(F.col("lang"), F.lit(""))
+    )
+    text = F.concat(
+        F.coalesce(F.col("title"), F.lit("")), F.lit("\n\n"),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+    ts = F.coalesce(F.col("updated_at"), F.lit(_EPOCH))
+    docs = raw.select(
+        key.alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8"
+        ).alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.col("metadata"),
+        ts.alias("updated_at"),
+    )
+    tags = raw.select(
+        key.alias("url"),
+        F.coalesce(F.col("tags"), F.array().cast("array<string>")).alias("tags"),
+    )
+    return docs, tags
+
+
 def adapt_driver_documents(spark, sf_dir: str):
     """Driver documents.parquet (doc_id, text, lang, source, n_chars) →
     the engine's 5-column input shape, deterministically.
