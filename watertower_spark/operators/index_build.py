@@ -46,6 +46,11 @@ from .analyze import analyze_to_terms  # noqa: F401 (re-exported for maintenance
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# fixed reference length for the pack-time diagnostic block_max_w
+# sidecar (query-time pruning derives its bounds from block_max_tf /
+# block_min_dl against the LIVE avgdl, never from block_max_w)
+_DIAG_AVGDL = 256.0
+
 # bump when the on-disk posting layout changes (readers reject stale
 # indexes instead of failing obscurely mid-kernel)
 FORMAT_VERSION = 4
@@ -326,18 +331,14 @@ def build_index(
     def mark(name):
         phases[name] = round(time.time() - t0 - sum(phases.values()), 3)
 
-    # doc_count + avgdl in ONE job over the raw docs (no doc_map join —
-    # the join is 1:1 so the aggregate is identical).  avgdl uses the
-    # whitespace token count — exact for the en/simple analyzers (empty
-    # stop set ⇒ every Fields token is kept), approximate for
-    # n-gram-fallback docs; it parameterizes BM25 consistently (manifest
-    # value == scorer value).
-    stats = docs.agg(
-        F.count("*").alias("n"),
-        F.avg(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))))
-        .alias("avgdl"),
-    ).collect()[0]
-    doc_count, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    # doc_count from the url column only (parquet sources answer this
+    # from footer metadata).  avgdl is NOT pre-scanned from text anymore:
+    # the BM25 scorer's dl IS doc_stats.wc, so the consistent avgdl is
+    # avg(wc) — aggregated from the segment output below for free,
+    # saving a full text pass.  (For whitespace analyzers the two
+    # definitions coincide; for n-gram fallback docs avg(wc) is the
+    # CORRECT one where the old whitespace estimate was approximate.)
+    doc_count = docs.select("url").count()
     n_shards = max(1, math.ceil(doc_count / docs_per_shard))
     mark("count")
 
@@ -358,7 +359,13 @@ def build_index(
         # shards on others, so the slowest task bounds the stage
         .repartitionByRange(n_shards, "shard")
         .mapInPandas(
-            _segment_kernel(avgdl, default_lang, analyzer_lang, docs_per_shard),
+            # avgdl isn't known yet (it comes from this very pass); the
+            # kernel uses it only for the DIAGNOSTIC block_max_w sidecar
+            # (query-time pruning bounds come from block_max_tf/min_dl
+            # against the live avgdl), so a fixed reference length is
+            # passed for determinism
+            _segment_kernel(_DIAG_AVGDL, default_lang, analyzer_lang,
+                            docs_per_shard),
             schema=SEGMENT_SCHEMA,
         )
     )
@@ -401,6 +408,12 @@ def build_index(
     with ThreadPoolExecutor(max_workers=3) as pool:
         for f_ in [pool.submit(w) for w in (w_doc_stats, w_doc_map, w_doc_store)]:
             f_.result()
+    # avgdl = average analyzed document length — the exact quantity the
+    # BM25 scorer divides by.  One tiny agg over the (now cached) stat
+    # rows; no extra pass over the corpus.
+    avgdl = float(
+        doc_stats.agg(F.avg("wc")).collect()[0][0] or 0.0
+    )
     # checkpoint: the doc phase is durable — an interrupted postings phase
     # resumes from here without re-analyzing committed work (resume_build)
     skeleton = {
