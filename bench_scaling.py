@@ -54,23 +54,36 @@ def ensure_corpus() -> None:
 
 
 def child(cpus: int) -> None:
-    """One measured run: build the full index + run the query set."""
+    """One measured run: build the full index + run the query set.
+
+    WT_SCALE_TMPFS=1 puts the index dir AND spark.local.dir (shuffle
+    spill) on /dev/shm: a cluster of N executors brings N nodes' worth
+    of disks, so a single-host emulation with ONE shared disk
+    understates scaling — tmpfs removes that artifact for both levels
+    symmetrically."""
+    import shutil as _sh
+
     from watertower_spark.session import get_spark
     from watertower_spark.operators.index_build import build_index
     from watertower_spark.operators.search import SearchEngine
 
-    spark = get_spark(cpus=cpus, shuffle_partitions=2 * cpus, app_name=f"wt-scale-{cpus}")
+    tmpfs = os.environ.get("WT_SCALE_TMPFS", "0") == "1"
+    base = "/dev/shm/wt_scale" if tmpfs else "/tmp"
+    extra_conf = {"spark.local.dir": f"{base}/spark_local_{cpus}"} if tmpfs else None
+    spark = get_spark(cpus=cpus, shuffle_partitions=2 * cpus,
+                      app_name=f"wt-scale-{cpus}", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{CORPUS}/docs")
     tags = spark.read.parquet(f"{CORPUS}/tags")
     n = docs.count()
-    idx = f"/tmp/wt_scale_idx_{cpus}"
+    idx = f"{base}/wt_scale_idx_{cpus}"
+    _sh.rmtree(idx, ignore_errors=True)
 
     t0 = time.time()
     # shard layout must be identical at both levels (same input, same
     # job): target 64 shards — 2× the larger level's cores.
     manifest = build_index(docs, tags, idx, default_lang="en",
-                           docs_per_shard=max(256, -(-N_DOCS // 64)))
+                           docs_per_shard=max(256, -(-N_DOCS // int(os.environ.get("WT_SCALE_SHARDS", "64")))))
     build_sec = time.time() - t0
     phases = manifest.get("phase_seconds", {})
 

@@ -22,6 +22,7 @@ def main() -> None:
     p.add_argument("--tags", default="")
     p.add_argument("--lang", default="")
     p.add_argument("--mode", choices=["parity", "bm25"], default="bm25")
+    p.add_argument("--operator", choices=["and", "or"], default="and")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = p.parse_args()
@@ -33,9 +34,8 @@ def main() -> None:
     eng = SearchEngine(spark, args.index)
     tags = [t for t in args.tags.split(",") if t] or None
     k = args.k if args.mode == "bm25" else None
-    eng.search(args.query, tags, lang=args.lang, mode=args.mode, k=k).show(
-        args.k, truncate=80
-    )
+    eng.search(args.query, tags, lang=args.lang, mode=args.mode, k=k,
+               operator=args.operator).show(args.k, truncate=80)
 
 
 if __name__ == "__main__":

@@ -155,3 +155,25 @@ def test_export_import_roundtrip(spark, tmp_index_root):
         b = [(r["doc_id"], round(r["score"], 9))
              for r in eng_b.search(q, tg, "en", mode=mode, k=10).collect()]
         assert a == b and a
+
+
+def test_es_shaped_search_response(spark, rich_index):
+    """The reference's /_search payload shape (handlers.go:92-183):
+    took/hits.hits[{_id,_index,_type,_score,_source}]/max_score/total."""
+    from watertower_spark.operators.response import search_response
+
+    eng = SearchEngine(spark, rich_index)
+    # lang plays the ES request's `analyzer` field (handlers.go:152-155)
+    resp = search_response(eng, "doc4", lang="en", index_name="rich")
+    assert resp["timed_out"] is False and resp["took"] >= 0
+    hits = resp["hits"]
+    assert hits["total"]["value"] == 1 and len(hits["hits"]) == 1
+    h = hits["hits"][0]
+    assert h["_type"] == "_doc" and h["_index"] == "rich"
+    assert h["_id"].startswith("d") and int(h["_id"][1:], 16) >= 1
+    assert h["_score"] == hits["max_score"] > 0
+    src = h["_source"]
+    assert src["unique_key"] == "ex://004"
+    assert src["title"] == "Title 4"
+    assert src["content"].startswith("body words")
+    assert src["metadata"]["rank"] == "4"

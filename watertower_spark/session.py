@@ -37,6 +37,7 @@ def get_spark(
     cpus: int | str = "*",
     shuffle_partitions: int | None = None,
     app_name: str = "watertower-spark",
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Local-mode session with the engine's recommended defaults: AQE on
     (runtime re-plan + skew-join), Arrow on (vectorized UDF transfer)."""
@@ -65,6 +66,8 @@ def get_spark(
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_executors_can_import(spark)
     return spark
