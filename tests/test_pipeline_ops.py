@@ -158,7 +158,7 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_image_features(media, feat_dim=8).collect()
     assert len(feats) == sum(1 for r in media.collect() if r["kind"] == "image")
     assert all(len(r["feat"]) == 8 for r in feats)
-    assert all(r["ok"] for r in feats)
+    assert all(r["ok"] for r in feats)  # REAL PPM decode succeeded
     assert all(abs(sum(r["feat"]) - 1.0) < 1e-3 for r in feats)  # histogram normalized
 
     frames = multimodal.sample_video_frames(media, every_ms=5000)
@@ -171,3 +171,51 @@ def test_multimodal_plumbing(spark):
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) == max(1, durations[mid] // 5000)
+
+
+def test_multimodal_real_image_decode_roundtrip():
+    """PPM decode is REAL: encode → decode is the identity, and the
+    nearest-neighbor resize hits exact source pixels."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    back = multimodal.decode_image(multimodal.encode_ppm(px))
+    assert (back == px).all()
+    small = multimodal.resize_nearest(px, 8)
+    assert small.shape == (8, 8, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+
+
+def test_multimodal_dirty_payload_error_rows(spark):
+    """Undecodable payloads become (ok=false, err) rows, never task
+    failures — the CC-scale dirty-media contract."""
+    rows = [(0, "image", b"\x89PNG not actually decodable", "image/png", 4, 4, 0)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_image_features(media, feat_dim=4).collect()
+    assert len(out) == 1 and out[0]["ok"] is False
+    assert "unsupported image format" in out[0]["err"]
+
+
+def test_multimodal_real_audio_features(spark):
+    """WAV decode is REAL (stdlib wave): duration and RMS computed from
+    the actual PCM samples of a known sine clip."""
+    rate, ms, amp = 8000, 500, 6000
+    t = np.arange(int(rate * ms / 1000))
+    sig = (amp * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    rows = [(7, "audio", multimodal.encode_wav_pcm16(sig, rate), "audio/wav", 0, 0, 0),
+            (8, "audio", b"junk", "audio/wav", 0, 0, 0)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.extract_audio_features(media).collect()}
+    good = out[7]
+    assert good["ok"] and good["sample_rate"] == rate
+    assert good["duration_ms"] == ms
+    # sine RMS = amp/sqrt(2) within quantization error
+    assert abs(good["rms"] - amp / np.sqrt(2)) < amp * 0.01
+    assert 0.05 < good["zcr"] < 0.2  # 440 Hz at 8 kHz → ~0.11
+    assert out[8]["ok"] is False
+
+
+def test_multimodal_resize_images(spark):
+    media = multimodal.synthesize_media(spark, n=9)
+    out = multimodal.resize_images(media, side=16).collect()
+    assert len(out) == 3 and all(r["ok"] for r in out)
+    assert all(len(r["pixels"]) == 16 * 16 * 3 for r in out)

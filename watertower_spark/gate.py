@@ -376,6 +376,38 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
 """
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """MOSS-style winnowing document fingerprints (rolling 4-gram hash,
+    window-min selection) over doc_id < 200 — bit-exact vs the SQL
+    oracle thanks to the portable md5-prefix shingle hash."""
+    from watertower_spark.operators.dedup import winnow_fingerprints
+
+    t = tokens(spark, sf_dir).where(F.col("doc_id") < 200)
+    return winnow_fingerprints(t, k=4, w=4)
+
+
+ORACLE_DOC_FINGERPRINT = TOK_CTE + """
+, g AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER pw || ' ' || lead(term, 2) OVER pw
+              || ' ' || lead(term, 3) OVER pw AS g
+  FROM tok WHERE doc_id < 200
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)
+), gh AS (
+  SELECT doc_id, pos,
+         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+  FROM g WHERE g IS NOT NULL
+), wmins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h_tail
+  FROM gh
+)
+SELECT DISTINCT doc_id, fp FROM wmins WHERE h_tail IS NOT NULL
+"""
+
+
 def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
     baseline), computed in double precision on both sides."""
@@ -677,6 +709,7 @@ QUERIES: dict = {
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),

@@ -146,6 +146,41 @@ def _exact_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     )
 
 
+def winnow_fingerprints(tokens: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
+    """(doc_id, fp) — MOSS-style winnowing document fingerprints.
+
+    Rolling k-token shingle hashes; within every window of ``w``
+    consecutive hashes the minimum is selected (winnowing guarantee: any
+    shared substring of length >= k+w-1 tokens yields at least one
+    shared fingerprint).  The shingle hash is the first 8 hex chars of
+    md5 as an integer — deliberately portable so a SQL oracle (DuckDB)
+    reproduces fingerprints bit-exactly.  All window work stays in
+    whole-stage codegen; no Python.
+    """
+    pw = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(pw).alias(f"t{i}") for i in range(1, k)]
+    sh = (
+        tokens.select("doc_id", "pos", *cols)
+        .where(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id", "pos",
+            F.concat_ws(" ", "term", *[f"t{i}" for i in range(1, k)]).alias("g"),
+        )
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.encode("g", "utf-8")), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        sh.withColumn("fp", F.min("h").over(win))
+        .withColumn("full", F.lead("h", w - 1).over(pw))
+        .where(F.col("full").isNotNull())  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def simhash(tokens: DataFrame, n_bits: int = 64) -> DataFrame:
     """(doc_id, simhash long): weighted majority of per-term hash bits.
 

@@ -1,15 +1,31 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schemas, batch shapes, partition-size-aware UDF
-signatures) is real and tested; the actual decode steps are STUBBED
-behind deterministic fakes because no image/audio codecs ship in this
-container — each stub is clearly marked and structured so a real
-implementation (PIL / torchaudio / pyav) drops into the same function
-body without touching the dataflow.
+Decode status per modality (this container ships no media codec libs —
+PIL/torchaudio/pyav are unavailable — so the line between REAL and STUB
+is drawn at what pure numpy + the stdlib can parse):
+
+- **image** — REAL decode/encode for binary PPM (P6), a complete
+  uncompressed raster format, plus a REAL nearest-neighbor resize.
+  Compressed formats (PNG/JPEG) raise a decode error that flows into
+  the (ok=false, err) row contract; a real codec (PIL) drops into
+  ``decode_image`` without touching the dataflow.
+- **audio** — REAL decode/encode for WAV PCM16 via the stdlib ``wave``
+  module; features (duration, RMS, zero-crossing rate) computed from
+  the actual samples.
+- **video** — STUB: frame sampling keeps the real fan-out shape
+  (bounded row explosion by duration/every_ms) but the "frame" bytes
+  are a deterministic payload slice; pyav would replace ``_video_frame``.
+
+Dirty-payload posture is part of the contract everywhere: decode
+failures become (ok=false, err) rows, never task retries — required at
+CC scale where some fraction of every media crawl is garbage.
 """
 
 from __future__ import annotations
 
+import io
+
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -22,59 +38,134 @@ MEDIA_SCHEMA = (
 )
 
 IMAGE_FEATURE_SCHEMA = "media_id long, feat array<float>, ok boolean, err string"
+IMAGE_RESIZE_SCHEMA = "media_id long, pixels binary, width int, height int, ok boolean, err string"
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms int, "
+    "rms double, zcr double, ok boolean, err string"
+)
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
+# ------------------------------------------------------------ real codecs
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) array → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for PPM P6 → uint8 (h, w, 3).
+
+    Raises ValueError for anything else (PNG/JPEG need a codec lib; a
+    PIL-backed branch slots in here when available)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("unsupported image format (only PPM P6 decodable here)")
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed
+    tokens: list = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        tokens.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, side: int) -> np.ndarray:
+    """REAL nearest-neighbor resize to (side, side, 3), pure numpy."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(side) * h // side).clip(0, h - 1)
+    xs = (np.arange(side) * w // side).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """REAL WAV PCM decode → (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {f.getsampwidth()}")
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        data = f.readframes(f.getnframes())
+    samples = np.frombuffer(data, dtype="<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).astype("<i2")
+    return samples, rate
+
+
+# ------------------------------------------------------------ synthesizer
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows (binary payload + typed metadata)."""
+    """Deterministic media rows with REAL payloads where a codec exists:
+    images are valid PPM P6 rasters, audio rows are valid WAV PCM16
+    clips; video payloads stay opaque bytes (stub modality)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
-        rows.append(
-            (
-                i, kind, payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 256)) if kind != "audio" else 0,
-                int(rng.integers(16, 256)) if kind != "audio" else 0,
-                int(rng.integers(1000, 60000)) if kind != "image" else 0,
-            )
-        )
+        if kind == "image":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime, dur = encode_ppm(px), "image/x-portable-pixmap", 0
+        elif kind == "audio":
+            rate = 8000
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(rate * dur / 1000.0))
+            freq = float(rng.integers(100, 800))
+            sig = (6000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            payload, mime, w, h = encode_wav_pcm16(sig, rate), "audio/wav", 0, 0
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                                    dtype=np.uint8).tobytes()
+            mime, w, h = "video/mp4", int(rng.integers(16, 256)), int(rng.integers(16, 256))
+            dur = int(rng.integers(1000, 60000))
+        rows.append((i, kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — deterministic fake decode.
+# ------------------------------------------------------------- operators
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload))`` →
-    ``np.asarray(img.resize(...))``.  Not available in this container,
-    so we derive a deterministic pseudo-pixel array from the payload
-    bytes; shape and dtype match what a real decoder would produce.
-    """
-    h = np.frombuffer(payload, dtype=np.uint8)
-    side = 8
-    reps = int(np.ceil(side * side * 3 / h.size))
-    return np.tile(h, reps)[: side * side * 3].reshape(side, side, 3)
+def extract_image_features(media: DataFrame, feat_dim: int = 16,
+                           side: int = 8) -> DataFrame:
+    """Decode → resize → feature-extract images via mapInPandas.
 
-
-def extract_image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
-    """Decode → feature-extract images via mapInPandas (Arrow batches).
-
-    Batch shape contract: one output row per input image row; failures
-    become (ok=false, err) rows instead of task retries — the correct
-    posture for dirty CC-scale media payloads.
-    """
+    REAL for PPM payloads (decode_image + resize_nearest + normalized
+    intensity histogram); undecodable payloads become (ok=false, err)
+    rows instead of task retries."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "feat": [], "ok": [], "err": []}
-            for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]):
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    px = _decode_image_stub(payload, w, h).astype(np.float64)
-                    # channel-mean / downsampled histogram: cheap, deterministic
-                    flat = px.reshape(-1)
+                    px = resize_nearest(decode_image(bytes(payload)), side)
+                    flat = px.reshape(-1).astype(np.float64)
                     bins = np.histogram(flat, bins=feat_dim, range=(0, 255))[0]
                     feat = (bins / max(flat.size, 1)).astype(np.float32)
                     out["media_id"].append(mid)
@@ -89,16 +180,89 @@ def extract_image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "image").select(
-        "media_id", "payload", "width", "height"
+        "media_id", "payload"
     ).mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, side: int = 32) -> DataFrame:
+    """Decode + REAL nearest-neighbor resize; output raw RGB bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "pixels": [], "width": [], "height": [],
+                   "ok": [], "err": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = resize_nearest(decode_image(bytes(payload)), side)
+                    out["media_id"].append(mid)
+                    out["pixels"].append(px.tobytes())
+                    out["width"].append(side)
+                    out["height"].append(side)
+                    out["ok"].append(True)
+                    out["err"].append("")
+                except Exception as exc:
+                    out["media_id"].append(mid)
+                    out["pixels"].append(b"")
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["ok"].append(False)
+                    out["err"].append(str(exc)[:200])
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, IMAGE_RESIZE_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode → duration / RMS / zero-crossing-rate features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                                   "duration_ms", "rms", "zcr", "ok", "err")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                    x = samples.astype(np.float64)
+                    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if x.size > 1 else 0.0
+                    out["media_id"].append(mid)
+                    out["sample_rate"].append(int(rate))
+                    out["n_samples"].append(int(x.size))
+                    out["duration_ms"].append(int(x.size * 1000 / rate))
+                    out["rms"].append(rms)
+                    out["zcr"].append(zcr)
+                    out["ok"].append(True)
+                    out["err"].append("")
+                except Exception as exc:
+                    out["media_id"].append(mid)
+                    out["sample_rate"].append(0)
+                    out["n_samples"].append(0)
+                    out["duration_ms"].append(0)
+                    out["rms"].append(0.0)
+                    out["zcr"].append(0.0)
+                    out["ok"].append(False)
+                    out["err"].append(str(exc)[:200])
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Frame sampling: one row per sampled frame.
 
-    STUB decode — real implementation seeks with pyav; the fan-out shape
-    (row explosion bounded by duration/every_ms) is the real contract.
-    """
+    STUB decode — no container demuxer ships here; pyav's
+    ``container.seek`` + frame decode replaces ``_video_frame``.  The
+    fan-out shape (row explosion bounded by duration/every_ms) is the
+    real contract and is tested."""
+
+    def _video_frame(payload: bytes, fi: int) -> bytes:
+        # STUB: deterministic payload slice stands in for a decoded frame
+        start = (fi * 31) % max(len(payload) - 16, 1)
+        return bytes(payload[start : start + 16])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,12 +270,9 @@ def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 n_frames = max(1, int(dur) // every_ms)
                 for fi in range(n_frames):
-                    # STUB: deterministic slice of payload stands in for
-                    # a decoded frame buffer
-                    start = (fi * 31) % max(len(payload) - 16, 1)
                     out_id.append(mid)
                     out_idx.append(fi)
-                    out_frame.append(bytes(payload[start:start + 16]))
+                    out_frame.append(_video_frame(payload, fi))
             yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
 
     return media.where(F.col("kind") == "video").select(
