@@ -177,3 +177,30 @@ def test_es_shaped_search_response(spark, rich_index):
     assert src["title"] == "Title 4"
     assert src["content"].startswith("body words")
     assert src["metadata"]["rank"] == "4"
+
+
+def test_fsio_scheme_paths_route_through_hadoop_fs(spark, tmp_index_root):
+    """fsio must handle scheme'd paths via the Hadoop FileSystem API —
+    exercised here with file:// (the same code path an s3a:// index
+    would take through its connector)."""
+    from watertower_spark.functions import fsio
+
+    base = f"file://{tmp_index_root}/fsio_probe"
+    fsio.write_text(f"{base}/_meta/manifest.json", '{"x": 1}')
+    assert fsio.exists(f"{base}/_meta/manifest.json")
+    assert fsio.read_json(f"{base}/_meta/manifest.json") == {"x": 1}
+    fsio.append_line(f"{base}/_meta/log.jsonl", '{"op": "a"}')
+    fsio.append_line(f"{base}/_meta/log.jsonl", '{"op": "b"}')
+    assert fsio.read_text(f"{base}/_meta/log.jsonl").splitlines() == [
+        '{"op": "a"}', '{"op": "b"}'
+    ]
+    # shard-dir listing + recursive delete through the same API
+    local = f"{tmp_index_root}/fsio_probe/t"
+    os.makedirs(f"{local}/shard=3", exist_ok=True)
+    with open(f"{local}/shard=3/part-0.parquet", "wb") as f:
+        f.write(b"x")
+    os.makedirs(f"{local}/shard=4", exist_ok=True)  # no data files
+    assert fsio.list_shard_dirs(f"file://{local}") == [3]
+    fsio.delete_dir(f"file://{local}/shard=3")
+    assert not fsio.exists(f"{base}/t/shard=3")
+    assert fsio.read_json(f"{base}/_meta/manifest.json") == {"x": 1}

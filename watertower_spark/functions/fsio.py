@@ -40,7 +40,9 @@ def _hadoop(path: str):
 
 
 def _is_remote(path: str) -> bool:
-    return "://" in path and not path.startswith("file://")
+    # any scheme'd URI (s3a://, hdfs://, file://, …) goes through the
+    # Hadoop FileSystem; bare paths take the local fast path
+    return "://" in path
 
 
 def read_text(path: str) -> str:
