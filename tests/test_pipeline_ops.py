@@ -219,3 +219,25 @@ def test_multimodal_resize_images(spark):
     out = multimodal.resize_images(media, side=16).collect()
     assert len(out) == 3 and all(r["ok"] for r in out)
     assert all(len(r["pixels"]) == 16 * 16 * 3 for r in out)
+
+
+def test_ivf_knn_recall(spark):
+    """IVF (k-means inverted lists): near-neighbors land in the same
+    list as the query's nearest centroid → high recall with few probes."""
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal(32)
+    rows = [(0, base.astype("float32").tolist())]
+    for i in range(1, 6):
+        rows.append((i, (base + 0.05 * rng.standard_normal(32)).astype("float32").tolist()))
+    for i in range(6, 306):
+        rows.append((i, rng.standard_normal(32).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in
+             similarity.brute_force_knn(emb, base.tolist(), k=5, exclude_vec_id=0).collect()}
+    assigned, centers = similarity.ivf_index(emb.where("vec_id <> 0"), n_lists=8, seed=3)
+    approx = {r["vec_id"] for r in
+              similarity.ivf_knn(assigned, centers, base.tolist(), k=5, n_probe=2).collect()}
+    assert len(exact & approx) >= 4
+    # probing fewer lists scans fewer candidates than the full table
+    probes = similarity.ivf_knn(assigned, centers, base.tolist(), k=5, n_probe=2)
+    assert probes.count() == 5

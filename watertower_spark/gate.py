@@ -678,6 +678,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_knn(emb.where("vec_id <> 0"), list(q), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means inverted lists) approximate top-k (rows-only:
+    membership depends on the trained quantizer; recall vs exact is
+    pinned in pytest)."""
+    from watertower_spark.operators.similarity import ivf_index, ivf_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").collect()[0]["embedding"]
+    assigned, centers = ivf_index(emb.where("vec_id <> 0"), n_lists=8)
+    return ivf_knn(assigned, centers, list(q), k=10, n_probe=3)
+
+
 # --------------------------------------------------- non-SQL-expressible
 
 def q_minhash_pairs(spark, sf_dir):
@@ -719,6 +731,7 @@ QUERIES: dict = {
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_codes": (q_simhash_codes, None),
 }

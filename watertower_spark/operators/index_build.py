@@ -53,7 +53,7 @@ _DIAG_AVGDL = 256.0
 
 # bump when the on-disk posting layout changes (readers reject stale
 # indexes instead of failing obscurely mid-kernel)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
@@ -64,6 +64,13 @@ POSTING_SCHEMA = (
 )
 
 TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
+
+# one row per shard: document lengths as a dense int32 array indexed by
+# (doc_id - shard*docs_per_shard - 1).  Doc ids are dense per shard, so
+# BM25 dl lookup is ARRAY INDEXING — the query kernel needs no
+# doc_stats cogroup side at all (one less exchange+scan per query).
+# Holes (removed docs) hold 0 and are never probed (no postings).
+DOC_LEN_SCHEMA = "shard int, n int, dl_blob binary"
 
 
 # ------------------------------------------------------------ doc ids
@@ -286,6 +293,26 @@ def _segment_kernel(avgdl: float, default_lang: str, analyzer_lang: str | None,
                         sdf[c] = None
             sdf["term"] = None
             yield sdf[cols]
+            # per-shard dense dl arrays ('l' rows → the doc_len table):
+            # BM25 doc-length lookup becomes array indexing at query time
+            per_shard: dict = {}
+            for doc_id, shard, wc, _twc in stats:
+                per_shard.setdefault(shard, []).append(
+                    (doc_id - shard * docs_per_shard - 1, wc)
+                )
+            lrows = []
+            for shard, pairs in per_shard.items():
+                offs = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+                ws = np.fromiter((p[1] for p in pairs), dtype=np.int32, count=len(pairs))
+                arr = np.zeros(int(offs.max()) + 1, dtype=np.int32)
+                arr[offs] = ws
+                lrows.append((int(shard), arr.size, arr.tobytes()))
+            ldf = pd.DataFrame(lrows, columns=["shard", "wc", "doc_blob"])
+            ldf["kind"] = "l"
+            for c in pcols + ["doc_id", "twc"]:
+                if c not in ldf.columns:
+                    ldf[c] = None
+            yield ldf[cols]
 
     return run
 
@@ -375,6 +402,9 @@ def build_index(
     # routes each task's rows straight into its shard directory.
     postings = seg.where(F.col("kind") == "p").drop("kind", "doc_id", "wc", "twc")
     doc_stats = seg.where(F.col("kind") == "s").select("doc_id", "shard", "wc", "twc")
+    doc_len = seg.where(F.col("kind") == "l").select(
+        "shard", F.col("wc").alias("n"), F.col("doc_blob").alias("dl_blob")
+    )
 
     # Independent table writes run on concurrent driver threads (Spark
     # schedules jobs from multiple threads concurrently).  Wave 1 = doc
@@ -481,6 +511,11 @@ def build_index(
             .write.mode("overwrite").parquet(f"{index_dir}/term_stats")
         )
 
+    def w_doc_len():
+        doc_len.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{index_dir}/doc_len"
+        )
+
     metrics_box: dict = {}
 
     def w_metrics():
@@ -496,8 +531,9 @@ def build_index(
             .collect()
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        for f_ in [pool.submit(w) for w in (w_postings, w_tags, w_term_stats, w_metrics)]:
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        for f_ in [pool.submit(w) for w in (w_postings, w_tags, w_term_stats,
+                                            w_doc_len, w_metrics)]:
             f_.result()
     mark("postings_tags")
 

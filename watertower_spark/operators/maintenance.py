@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analyze import analyze_to_terms
 from .index_build import (
+    DOC_LEN_SCHEMA,
     POSTING_SCHEMA,
     TAG_SCHEMA,
     _pack_postings_kernel,
@@ -40,6 +41,36 @@ from .index_build import (
     assign_doc_ids,
     load_manifest,
 )
+
+
+def _pack_doc_len_kernel(dps: int):
+    """(doc_id, shard, wc) rows of one shard → its dense dl-array row
+    (see index_build.DOC_LEN_SCHEMA)."""
+
+    def pack(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        shard = int(key[0])
+        offs = (pdf["doc_id"].to_numpy() - shard * dps - 1).astype("int64")
+        ws = pdf["wc"].to_numpy().astype("int32")
+        arr = np.zeros(int(offs.max()) + 1, dtype=np.int32)
+        arr[offs] = ws
+        return pd.DataFrame(
+            {"shard": [shard], "n": [arr.size], "dl_blob": [arr.tobytes()]}
+        )
+
+    return pack
+
+
+def _write_doc_len(doc_stats, index_dir: str, dps: int, write_mode: str) -> None:
+    (
+        doc_stats.select("doc_id", "shard", "wc")
+        .groupBy("shard")
+        .applyInPandas(_pack_doc_len_kernel(dps), schema=DOC_LEN_SCHEMA)
+        .write.mode(write_mode).partitionBy("shard")
+        .parquet(f"{index_dir}/doc_len")
+    )
 
 
 def _save_manifest(index_dir: str, manifest: dict, op: str = "update") -> None:
@@ -141,6 +172,7 @@ def append_documents(spark: SparkSession, index_dir: str,
     tags_w = new_tags.join(ids, "url") if new_tags is not None else None
     doc_stats, release_terms = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
     doc_stats.write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
+    _write_doc_len(doc_stats, index_dir, dps, "append")
     release_terms()
     ids.write.mode("append").parquet(doc_map_dir)
     docs_w.withColumn("shard", _shard_col(dps)) \
@@ -222,7 +254,7 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     }
     for s in shards:
         if s not in surviving:
-            for table in ("postings", "doc_store", "tags", "doc_stats"):
+            for table in ("postings", "doc_store", "tags", "doc_stats", "doc_len"):
                 fsio.delete_dir(f"{index_dir}/{table}/shard={s}")
     kept_small.unpersist()
 
@@ -355,6 +387,7 @@ def _rewrite_shards(spark, index_dir, manifest, docs_small, tag_rows, shards):
     doc_stats.write.mode("overwrite").partitionBy("shard").parquet(
         f"{index_dir}/doc_stats"
     )
+    _write_doc_len(doc_stats, index_dir, dps, "overwrite")
     if tag_rows is not None and manifest.get("has_tags"):
         # tag_rows may be decoded from the very tags files this write
         # replaces (_tags_as_rows) — materialize before overwriting

@@ -4,10 +4,15 @@ Re-expresses the reference's read path (search.go:16-111; SURVEY.md §3.1)
 as one DataFrame DAG:
 
     query string ── analyze (driver-side, tiny) ─┐
-    postings (term ∈ query terms)                ├─ per-shard kernel
-    tags     (tag ∈ filter tags)  ── unified ────┤  (applyInPandas cogroup
-    doc_stats (per-shard doc lengths) ───────────┘   with doc_stats)
+    postings (term ∈ query terms)                ├─ ONE unified grouped
+    tags     (tag ∈ filter tags)    ── unioned ──┤  exchange → per-shard
+    doc_len  (per-shard dl arrays) ──────────────┘  applyInPandas kernel
         → (doc_id, score) → global sort [+ limit k] → doc_store join
+
+    Doc ids are dense per shard, so the shard's document lengths pack
+    into ONE int32 array row (doc_len table): BM25 dl lookup is array
+    indexing inside the kernel, and the query plan has a single input
+    exchange — no doc_stats cogroup, scan, or sort at query time.
 
 Semantics preserved from the reference:
 - conjunctive AND across every query term AND every tag (int.go:7-49,
@@ -58,17 +63,22 @@ def _phrase_relative_positions(doc_positions: np.ndarray, query_positions: list)
 
 
 def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
-                 avgdl: float, mode: str, k: int | None, n_tags: int = 0):
+                 avgdl: float, mode: str, k: int | None, n_tags: int = 0,
+                 docs_per_shard: int = 0):
     """Per-shard candidate generation + scoring kernel.
 
-    Input cogroup: (postings+tags rows for this shard, doc_stats rows).
-    """
+    SINGLE grouped input: postings + tag + doc-length rows for this
+    shard ride the same exchange (kind column discriminates).  BM25 doc
+    lengths come from the shard's dense dl array ('len' row) — doc ids
+    are dense per shard, so dl lookup is array indexing and the query
+    plan needs no second cogroup input at all."""
 
-    def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, groups_pdf: pd.DataFrame) -> pd.DataFrame:
         from watertower_spark.functions import codec
 
         BS = codec.BLOCK_SIZE
         shard = int(key[0])
+        base = shard * docs_per_shard
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "shard": pd.Series(dtype="int32"),
                               "score": pd.Series(dtype="float64")})
@@ -77,11 +87,19 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
         term_rows: dict = {}
         tag_blobs: list = []
+        dl_arr = None
         for row in groups_pdf.itertuples(index=False):
             if row.kind == "term":
                 term_rows[row.name] = row
+            elif row.kind == "len":
+                dl_arr = np.frombuffer(row.doc_blob, dtype=np.int32)
             else:
                 tag_blobs.append(row.doc_blob)
+
+        def dl_of(ids: np.ndarray) -> np.ndarray:
+            if dl_arr is None:
+                return np.full(ids.size, avgdl, dtype="float64")
+            return dl_arr[ids - base - 1].astype("float64")
 
         # AND semantics: every query term and every filter tag must have a
         # group row in this shard; anything absent here vetoes the shard.
@@ -111,12 +129,6 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             order_b = np.argsort(-ub, kind="stable")
             block_off = np.frombuffer(row.block_off, dtype=np.int64)
             tf_off = np.frombuffer(row.block_tf_off, dtype=np.int64)
-            if not stats_pdf.empty:
-                s = stats_pdf.sort_values("doc_id")
-                sids = s["doc_id"].to_numpy()
-                swc = s["wc"].to_numpy().astype("float64")
-            else:
-                sids = None
             top_ids = np.empty(0, dtype=np.int64)
             top_sc = np.empty(0, dtype="float64")
             kth = -np.inf
@@ -130,7 +142,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                     row.doc_blob, block_off, int(row.df), np.array([b]), BS
                 )
                 tf = codec.decode_tf_blocks(row.tf_blob, tf_off, np.array([b]))[int(b)].astype("float64")
-                dl = swc[np.searchsorted(sids, ids)] if sids is not None else np.full(ids.size, avgdl)
+                dl = dl_of(ids)
                 denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
                 sc = idf * (BM25_K1 + 1.0) * tf / denom
                 top_ids = np.concatenate((top_ids, ids))
@@ -237,17 +249,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         # Scoring — tf decoded per needed block only
         scores = np.zeros(cand.size, dtype="float64")
         if query_tokens:
-            if mode == "bm25":
-                if not stats_pdf.empty:
-                    s = stats_pdf.sort_values("doc_id")
-                    sids = s["doc_id"].to_numpy()
-                    dl = s["wc"].to_numpy().astype("float64")[
-                        np.searchsorted(sids, cand)
-                    ]
-                else:
-                    dl = np.full(cand.size, avgdl, dtype="float64")
-            else:
-                dl = None
+            dl = dl_of(cand) if mode == "bm25" else None
             for term in query_tokens:
                 row = term_rows[term]
                 blocks, offs = posting_locs(term, cand)
@@ -305,6 +307,7 @@ class SearchEngine:
 
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+        self.doc_len = spark.read.parquet(f"{index_dir}/doc_len")
         self.doc_store = spark.read.parquet(f"{index_dir}/doc_store")
         self.tags = (
             spark.read.parquet(f"{index_dir}/tags") if self.manifest.get("has_tags") else None
@@ -438,6 +441,27 @@ class SearchEngine:
                     ],
                 )
             )
+        # BM25 needs per-doc lengths: the shard's dense dl array rides the
+        # SAME exchange as the postings (kind='len' row, partition-pruned
+        # to candidate shards) — no second cogroup input, no doc_stats
+        # scan at query time.
+        if mode == "bm25" and terms and cand_shards:
+            len_sel = self.doc_len.where(
+                F.col("shard").isin([int(s) for s in cand_shards])
+            )
+            parts.append(
+                len_sel.select(
+                    F.lit("len").alias("kind"), F.lit("").alias("name"),
+                    "shard", F.col("n").alias("df"),
+                    F.col("dl_blob").alias("doc_blob"),
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "pos_blob", "block_off",
+                                  "block_last", "block_tf_off", "block_pos_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
         groups_df = parts[0]
         for p in parts[1:]:
             groups_df = groups_df.unionByName(p)
@@ -448,19 +472,10 @@ class SearchEngine:
         kernel = _make_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
             float(self.manifest["avgdl"]), mode, k, n_tags=len(set(tags)),
+            docs_per_shard=int(self.manifest["docs_per_shard"]),
         )
-        # the stats side of the cogroup is only needed for BM25 doc
-        # lengths, and only for candidate shards (partition pruning)
-        if mode == "bm25" and cand_shards:
-            stats_side = self.doc_stats.where(
-                F.col("shard").isin([int(s) for s in cand_shards])
-            )
-        else:
-            stats_side = self.doc_stats.where(F.lit(False))
-        results = (
-            groups_df.groupBy("shard")
-            .cogroup(stats_side.groupBy("shard"))
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        results = groups_df.groupBy("shard").applyInPandas(
+            kernel, schema=RESULT_SCHEMA
         )
 
         if mode == "bm25":
@@ -547,17 +562,28 @@ class SearchEngine:
                     ],
                 )
             )
-        stats_side = self.doc_stats.where(
+        len_sel = self.doc_len.where(
             F.col("shard").isin([int(s) for s in cand_shards])
+        )
+        groups_df = groups_df.unionByName(
+            len_sel.select(
+                F.lit("len").alias("kind"), F.lit("").alias("name"),
+                "shard", F.col("n").alias("df"),
+                F.col("dl_blob").alias("doc_blob"),
+                *[
+                    F.lit(None).cast("binary").alias(c)
+                    for c in ("tf_blob", "block_off",
+                              "block_max_tf", "block_min_dl")
+                ],
+            )
         )
         kernel = make_or_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
             float(self.manifest["avgdl"]), k, n_tags=len(set(tags)),
+            docs_per_shard=int(self.manifest["docs_per_shard"]),
         )
         results = (
-            groups_df.groupBy("shard")
-            .cogroup(stats_side.groupBy("shard"))
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            groups_df.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )

@@ -133,6 +133,43 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     return joined.where(F.col("cos") >= threshold).select("va", "vb", "cos")
 
 
+def ivf_index(emb: DataFrame, n_lists: int = 16, seed: int = 11,
+              max_iter: int = 20):
+    """IVF coarse quantizer (the classic inverted-file ANN layout):
+    distributed k-means (pyspark.ml) assigns every vector to its nearest
+    centroid's inverted list.  Returns ``(assigned, centers)`` where
+    ``assigned`` carries a ``list_id`` column and ``centers`` is the
+    (n_lists, dim) centroid matrix (driver-side, tiny).
+
+    Scale path: persist ``assigned`` partitioned by ``list_id`` — a
+    probe then reads exactly ``n_probe`` partitions instead of the
+    whole table (partition pruning does the candidate narrowing)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select("vec_id", "embedding").withColumn(
+        "_v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_v").fit(v)
+    assigned = model.transform(v).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+    centers = np.stack([c for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_knn(assigned: DataFrame, centers: np.ndarray, query_vec: list,
+            k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k over an IVF index: pick the ``n_probe`` nearest
+    centroids driver-side (tiny matrix op), scan only their lists, exact
+    cosine re-rank of the candidates."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = np.linalg.norm(centers - q, axis=1)
+    probes = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    cand = assigned.where(F.col("list_id").isin(probes))
+    return cosine_topk_arrow(cand.select("vec_id", "embedding"), q.tolist(), k)
+
+
 def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
                      n_planes: int = 12, n_tables: int = 4, seed: int = 11) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table bucket

@@ -38,8 +38,11 @@ def _bm25(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarra
 
 
 def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
-                   avgdl: float, k: int, n_tags: int = 0):
-    """Per-shard cogroup kernel for disjunctive BM25 top-k.
+                   avgdl: float, k: int, n_tags: int = 0,
+                   docs_per_shard: int = 0):
+    """Per-shard single-input kernel for disjunctive BM25 top-k (the
+    shard's postings, tag sets and dense dl array all ride one grouped
+    exchange, discriminated by ``kind``).
 
     Tags are CONJUNCTIVE filters even in OR mode (Elasticsearch bool
     `filter` semantics, the reference's query shape in
@@ -48,10 +51,11 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
     restriction is applied at posting-decode time so the maxscore θ
     bootstrap is a valid lower bound over the FILTERED corpus."""
 
-    def kernel(key, groups_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, groups_pdf: pd.DataFrame) -> pd.DataFrame:
         from watertower_spark.functions import codec
 
         shard = int(key[0])
+        base = shard * docs_per_shard
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "shard": pd.Series(dtype="int32"),
                               "score": pd.Series(dtype="float64")})
@@ -72,16 +76,16 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         if allowed is not None and allowed.size == 0:
             return empty
 
-        if not stats_pdf.empty:
-            s = stats_pdf.sort_values("doc_id")
-            sids = s["doc_id"].to_numpy()
-            swc = s["wc"].to_numpy().astype("float64")
+        dl_arr = None
+        for row in groups_pdf.itertuples(index=False):
+            if row.kind == "len":
+                dl_arr = np.frombuffer(row.doc_blob, dtype=np.int32)
+                break
 
-            def dl_of(ids):
-                return swc[np.searchsorted(sids, ids)]
-        else:
-            def dl_of(ids):
+        def dl_of(ids):
+            if dl_arr is None:
                 return np.full(ids.size, avgdl, dtype="float64")
+            return dl_arr[ids - base - 1].astype("float64")
 
         terms = []
         for row in groups_pdf.itertuples(index=False):
