@@ -79,6 +79,28 @@ class PyOracle:
             out.append((u, score))
         return sorted(out, key=lambda x: (x[1], x[0]) if mode == "parity" else (-x[1], x[0]))
 
+    def search_or(self, q, tag=None, k=10):
+        """Disjunctive BM25 top-k; tags stay conjunctive filters."""
+        qt = analyze_query(q, "en")
+        if not qt:
+            return []
+        df = {t: sum(1 for tm, _ in self.docs.values() if t in tm) for t in qt}
+        out = []
+        for u, (tm, wc) in self.docs.items():
+            if tag is not None and u not in self.tags.get(tag, set()):
+                continue
+            score = 0.0
+            for term in qt:
+                tf = len(tm.get(term, ()))
+                if tf and df[term]:
+                    idf = math.log(1.0 + (self.n - df[term] + 0.5) / (df[term] + 0.5))
+                    score += idf * (BM25_K1 + 1.0) * tf / (
+                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * wc / self.avgdl)
+                    )
+            if score > 0.0:
+                out.append((u, score))
+        return sorted(out, key=lambda x: (-x[1], x[0]))[:k]
+
     def _phrase_ok(self, url, qt):
         tm, _ = self.docs[url]
         rel_sets = []
@@ -130,3 +152,28 @@ def test_random_queries_match_python_oracle(rnd_setup):
         if want:
             checked_nonempty += 1
     assert checked_nonempty >= 10  # the query mix must exercise real results
+
+
+def test_random_or_queries_match_python_oracle(rnd_setup):
+    """Differential coverage for the OR maxscore kernel incl. the r2
+    conjunctive tag filter: 25 seeded disjunctive queries must match the
+    independent oracle's top-k membership, order and scores."""
+    eng, oracle = rnd_setup
+    rng = random.Random(7)
+    checked_nonempty = 0
+    for _ in range(25):
+        q = " ".join(rng.choices(WORDS, k=rng.randint(1, 3)))
+        tag = f"g{rng.randint(0, 3)}" if rng.random() < 0.4 else None
+        want = oracle.search_or(q, tag, k=10)
+        got = [
+            (r["url"], r["score"])
+            for r in eng.search(q, [tag] if tag else None, "en",
+                                mode="bm25", operator="or", k=10).collect()
+        ]
+        assert len(got) == len(want), f"q={q!r} tag={tag}: {len(got)} vs {len(want)}"
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gu == wu, f"q={q!r} tag={tag}: order {gu} vs {wu}"
+            assert abs(gs - ws) < 1e-9, f"q={q!r}: score {gs} vs {ws}"
+        if want:
+            checked_nonempty += 1
+    assert checked_nonempty >= 10
