@@ -73,6 +73,8 @@ def main() -> None:
     timed("q_bm25_phrase_top10", lambda: eng.search("merge sort", None, mode="bm25", k=10).collect())
     timed("q_tag_filter", lambda: eng.search("scan", ["src3"], mode="bm25", k=10).collect())
     timed("q_bm25_or_top10", lambda: eng.search("data scan", None, mode="bm25", operator="or", k=10).collect())
+    timed("q_bm25_or_tag", lambda: eng.search("data scan", ["src3"], mode="bm25", operator="or", k=10).collect())
+    timed("q_find_by_key", lambda: eng.search("unique_key:doc://000000000042").collect())
 
     tok = tokens(spark, sf_dir)
     timed("q_minhash_dedup", lambda: minhash_lsh_pairs(tok, threshold=0.2).count(), runs=1)

@@ -99,7 +99,13 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 64, seed: int = 42,
     if total == 0:
         return spark.createDataFrame([], "url string, doc_id long")
     num_ranges = max(num_ranges, math.ceil(total / 1_000_000))
-    fraction = min(1.0, (num_ranges * 40.0) / max(total, 1))
+    # cap the driver-side boundary sample: 40 urls/range is plenty of
+    # balance signal at small range counts, but at 10^12 docs (1M
+    # ranges) it would pull 40M strings to the driver — degrade
+    # gracefully to 8/range past ~2M sampled urls (range balance only
+    # affects task evenness; id correctness never depends on it)
+    per_range = max(8, min(40, 2_000_000 // num_ranges or 8))
+    fraction = min(1.0, (num_ranges * float(per_range)) / max(total, 1))
     sample = [r[0] for r in urls.sample(fraction=fraction, seed=seed).collect()]
     sample.sort()
     if sample and num_ranges > 1:
