@@ -180,6 +180,7 @@ def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:
     offset is deliberately NOT applied (reference quirk A9).
     """
     positions: dict = {}
+    get = positions.get
     idx = 0
     stop = analyzer.stop_words
     stemmer = analyzer.stemmer
@@ -187,20 +188,29 @@ def tokenize_stream(analyzer: Analyzer, content: str) -> tuple[dict, int]:
         for w in analyzer.splitter(content):
             if w in stop:
                 continue
-            positions.setdefault(w, []).append(idx)
+            lst = get(w)
+            if lst is None:
+                positions[w] = [idx]
+            else:
+                lst.append(idx)
             idx += 1
     else:
         # worker-lifetime stem cache: corpora follow Zipf, so the hit
         # rate approaches 1 after a few documents per executor
         cache = _STEM_CACHES.setdefault(analyzer.name, {})
+        cget = cache.get
         for w in analyzer.splitter(content):
             if w in stop:
                 continue
-            t = cache.get(w)
+            t = cget(w)
             if t is None:
                 t = stemmer(w)
                 cache[w] = t
-            positions.setdefault(t, []).append(idx)
+            lst = get(t)
+            if lst is None:
+                positions[t] = [idx]
+            else:
+                lst.append(idx)
             idx += 1
     return positions, idx
 
