@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--index", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--index", help="index directory")
+    src.add_argument("--bundle", help="single-file index bundle "
+                     "(export_index output; the reference CLI's "
+                     "`--input watertower.idx` mode)")
     p.add_argument("--query", default="")
     p.add_argument("--tags", default="")
     p.add_argument("--lang", default="")
@@ -31,7 +35,14 @@ def main() -> None:
     from watertower_spark.operators.search import SearchEngine
 
     spark = get_spark(cpus=args.cpus, app_name="watertower-query")
-    eng = SearchEngine(spark, args.index)
+    index_dir = args.index
+    if args.bundle:
+        import tempfile
+
+        from watertower_spark.operators.bundle import import_index
+
+        index_dir = import_index(args.bundle, tempfile.mkdtemp(prefix="wt_bundle_"))
+    eng = SearchEngine(spark, index_dir)
     tags = [t for t in args.tags.split(",") if t] or None
     k = args.k if args.mode == "bm25" else None
     eng.search(args.query, tags, lang=args.lang, mode=args.mode, k=k,

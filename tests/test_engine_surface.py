@@ -204,3 +204,18 @@ def test_fsio_scheme_paths_route_through_hadoop_fs(spark, tmp_index_root):
     fsio.delete_dir(f"file://{local}/shard=3")
     assert not fsio.exists(f"{base}/t/shard=3")
     assert fsio.read_json(f"{base}/_meta/manifest.json") == {"x": 1}
+
+
+def test_get_doc_by_docid(spark, rich_index):
+    """GET _doc/{id} semantics (handlers.go:24-56): docID lookup, both
+    int and the reference's d<hex> string encoding."""
+    eng = SearchEngine(spark, rich_index)
+    # resolve a known doc's id via its key first
+    did = eng.find_by_key("ex://002").collect()[0]["doc_id"]
+    for ref in (did, f"d{did:x}"):
+        got = eng.get_doc(ref).collect()
+        assert len(got) == 1 and got[0]["url"] == "ex://002"
+        assert got[0]["metadata"]["rank"] == "2"
+    assert eng.get_doc(999999).count() == 0
+    with pytest.raises(ValueError):
+        eng.get_doc("x123")

@@ -516,6 +516,26 @@ class SearchEngine:
                     *self._extra_doc_cols())
         )
 
+    def get_doc(self, doc_id: int | str) -> DataFrame:
+        """Fetch one document by docID — the reference's
+        GET /indexes/{index}/_doc/{id} (webapi/restapi/handlers.go:24-56),
+        where ids are rendered `d` + lowercase hex (entity.go:26-33);
+        both the int and the `d<hex>` string form are accepted.  One
+        shard-pruned doc_store read, no analysis, score 0."""
+        if isinstance(doc_id, str):
+            if not doc_id.startswith("d"):
+                raise ValueError(f"document id {doc_id!r} must be 'd' + hex")
+            doc_id = int(doc_id[1:], 16)
+        doc_id = int(doc_id)
+        dps = int(self.manifest["docs_per_shard"])
+        shard = (doc_id - 1) // dps
+        return (
+            self.doc_store
+            .where((F.col("shard") == shard) & (F.col("doc_id") == doc_id))
+            .select("doc_id", "url", F.lit(0.0).alias("score"), "text", "lang",
+                    *self._extra_doc_cols())
+        )
+
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
                    materialize: bool) -> DataFrame:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
