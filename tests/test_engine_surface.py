@@ -96,9 +96,13 @@ def test_json_doc_dir_ingestion(spark, tmp_index_root):
     for name, payload in docs_json:
         with open(f"{src}/{name}", "w", encoding="utf-8") as f:
             json.dump(payload, f)
+    # unparseable file: the reference CLI skips it (main.go:66-70)
+    with open(f"{src}/broken.json", "w") as f:
+        f.write("{not valid json")
 
     docs, tags = corpus.read_json_doc_dir(spark, src)
     got = {r["url"]: r for r in docs.collect()}
+    assert len(got) == 3  # broken.json skipped, not indexed as junk
     assert "k/alpha" in got and "k/gamma" in got
     # defaulted unique_key is the file path
     path_keys = [u for u in got if u.endswith("b.json")]

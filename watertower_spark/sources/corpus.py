@@ -286,6 +286,11 @@ def read_json_doc_dir(spark, input_dir: str, force_language: str | None = None):
         .option("recursiveFileLookup", "true")
         .json(input_dir)
         .withColumn("_path", F.input_file_name())
+        # unparseable files surface as all-null rows (PERMISSIVE mode);
+        # the reference CLI skips them with a warning (main.go:66-70) —
+        # mirror that instead of indexing junk documents
+        .where(F.col("title").isNotNull() | F.col("content").isNotNull()
+               | F.col("unique_key").isNotNull())
     )
     key = F.when(
         F.col("unique_key").isNull() | (F.col("unique_key") == ""), F.col("_path")
