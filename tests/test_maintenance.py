@@ -209,3 +209,43 @@ def test_streaming_ingest(spark, tmp_index_root):
     # drain again: checkpoint + anti-join → no duplicates
     n2 = ingest_available(spark, stream_dir, idx, ckpt)
     assert load_manifest(idx)["doc_count"] == 7
+
+
+def test_shard_metrics_externalize_at_scale(spark, tmp_index_root, monkeypatch):
+    """At 10^12-doc scale the manifest cannot inline (or driver-collect)
+    per-shard metrics for 10^5-10^8 shards; past the threshold they go
+    to a shard_metrics parquet table with totals inline.  Forced here by
+    shrinking the threshold."""
+    import watertower_spark.operators.index_build as ib
+    from watertower_spark.operators.index_build import snapshot_history, table_path
+
+    monkeypatch.setattr(ib, "SHARD_METRICS_INLINE_MAX", 2)
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows)
+    idx = f"{tmp_index_root}/ext_metrics"
+    shutil.rmtree(idx, ignore_errors=True)
+    m = build_index(docs, tags, idx, docs_per_shard=2)  # 4 shards > 2
+
+    assert m["shards"] == "external"
+    assert m["shard_totals"]["n_postings"] > 0
+    ext = spark.read.parquet(f"{idx}/shard_metrics")
+    assert ext.count() == m["n_shards"]
+    assert set(ext.columns) >= {"shard", "n_terms", "n_postings", "bytes",
+                                "build_id", "status"}
+    # snapshot log carries the totals
+    snap = snapshot_history(idx)[-1]
+    assert snap["total_postings"] == m["shard_totals"]["n_postings"]
+
+    # search unaffected
+    eng = SearchEngine(spark, idx)
+    assert eng.search("request", None, "en").count() > 0
+
+    # a mutation refreshes the EXTERNAL table via versioned publish
+    victims = spark.createDataFrame([(rows[0]["url"],)], "url string")
+    m2 = remove_documents(spark, idx, victims)
+    assert m2["shards"] == "external"
+    new_path = table_path(idx, m2, "shard_metrics")
+    assert new_path.endswith("_v1")
+    assert spark.read.parquet(new_path).count() >= 1
+    assert m2["shard_totals"]["n_postings"] < m["shard_totals"]["n_postings"]
+    assert not os.path.exists(f"{idx}/shard_metrics")  # old version GC'd

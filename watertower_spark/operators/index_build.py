@@ -72,6 +72,12 @@ TAG_SCHEMA = "tag string, shard int, n int, doc_blob binary"
 # Holes (removed docs) hold 0 and are never probed (no postings).
 DOC_LEN_SCHEMA = "shard int, n int, dl_blob binary"
 
+# per-shard lineage/metrics live INLINE in the manifest up to this many
+# shards; beyond it (a 10^12-doc build has 10^5-10^8 shards) they are
+# written as a parquet table instead — a JSON manifest with 100M shard
+# entries, and the driver-side collect() feeding it, would both break.
+SHARD_METRICS_INLINE_MAX = 10_000
+
 
 # ------------------------------------------------------------ doc ids
 
@@ -526,16 +532,27 @@ def build_index(
 
     def w_metrics():
         # per-shard lineage + size metrics (north_rule: per-partition
-        # lineage and postings/byte-count metrics)
-        metrics_box["rows"] = (
-            postings.groupBy("shard")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("df").alias("n_postings"),
-                F.sum("bytes").alias("bytes"),
-            )
-            .collect()
+        # lineage and postings/byte-count metrics).  Small shard counts
+        # collect inline into the manifest; huge ones write a parquet
+        # table + keep only totals driver-side.
+        mdf = postings.groupBy("shard").agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("bytes").alias("bytes"),
         )
+        if n_shards <= SHARD_METRICS_INLINE_MAX:
+            metrics_box["rows"] = mdf.collect()
+        else:
+            (
+                mdf.withColumn("build_id", F.lit(build_id))
+                .withColumn("status", F.lit("committed"))
+                .write.mode("overwrite").parquet(f"{index_dir}/shard_metrics")
+            )
+            metrics_box["totals"] = (
+                spark.read.parquet(f"{index_dir}/shard_metrics")
+                .agg(F.sum("n_postings").alias("p"), F.sum("bytes").alias("b"))
+                .collect()[0]
+            )
 
     with ThreadPoolExecutor(max_workers=5) as pool:
         for f_ in [pool.submit(w) for w in (w_postings, w_tags, w_term_stats,
@@ -543,16 +560,23 @@ def build_index(
             f_.result()
     mark("postings_tags")
 
-    shard_metrics = {
-        int(r["shard"]): {
-            "n_terms": int(r["n_terms"]),
-            "n_postings": int(r["n_postings"]),
-            "bytes": int(r["bytes"]),
-            "build_id": build_id,
-            "status": "committed",
+    if "rows" in metrics_box:
+        shard_metrics = {
+            int(r["shard"]): {
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]),
+                "build_id": build_id,
+                "status": "committed",
+            }
+            for r in metrics_box["rows"]
         }
-        for r in metrics_box["rows"]
-    }
+        extra = {}
+    else:
+        shard_metrics = "external"  # per-shard rows live in shard_metrics/
+        t_ = metrics_box["totals"]
+        extra = {"shard_totals": {"n_postings": int(t_["p"] or 0),
+                                  "bytes": int(t_["b"] or 0)}}
     mark("metrics")
     manifest = dict(
         skeleton,
@@ -560,6 +584,7 @@ def build_index(
         shards=shard_metrics,
         build_seconds=round(time.time() - t0, 3),
         phase_seconds=phases,
+        **extra,
     )
     fsio.write_json(f"{index_dir}/_meta/manifest.json", manifest)
     append_snapshot(index_dir, manifest, "build")
@@ -593,17 +618,21 @@ def append_snapshot(index_dir: str, manifest: dict, op: str) -> None:
     ('which build wrote shard 17, and how many postings did it carry?')."""
     from watertower_spark.functions import fsio
 
+    shards = manifest.get("shards", {})
+    if isinstance(shards, dict):
+        total_p = sum(s.get("n_postings", 0) for s in shards.values())
+        total_b = sum(s.get("bytes", 0) for s in shards.values())
+    else:  # "external": per-shard rows in shard_metrics/, totals inline
+        totals = manifest.get("shard_totals", {})
+        total_p = totals.get("n_postings", 0)
+        total_b = totals.get("bytes", 0)
     rec = {
         "op": op,
         "build_id": manifest.get("build_id"),
         "doc_count": manifest.get("doc_count"),
         "n_shards": manifest.get("n_shards"),
-        "total_postings": sum(
-            s.get("n_postings", 0) for s in manifest.get("shards", {}).values()
-        ),
-        "total_bytes": sum(
-            s.get("bytes", 0) for s in manifest.get("shards", {}).values()
-        ),
+        "total_postings": total_p,
+        "total_bytes": total_b,
     }
     fsio.append_line(f"{index_dir}/_meta/snapshots.jsonl", json.dumps(rec))
 

@@ -477,21 +477,43 @@ def _refresh_shard_metrics(spark, index_dir, manifest) -> list:
             .write.mode("overwrite").parquet(path)
         ),
     )
-    rows = (
-        postings.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum("bytes").alias("bytes"),
-        )
-        .collect()
+    from .index_build import SHARD_METRICS_INLINE_MAX
+
+    mdf = postings.groupBy("shard").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("bytes").alias("bytes"),
     )
-    manifest["shards"] = {
-        str(int(r["shard"])): {
-            "n_terms": int(r["n_terms"]), "n_postings": int(r["n_postings"]),
-            "bytes": int(r["bytes"]), "build_id": manifest["build_id"],
-            "status": "committed",
+    if manifest.get("n_shards", 0) <= SHARD_METRICS_INLINE_MAX:
+        manifest["shards"] = {
+            str(int(r["shard"])): {
+                "n_terms": int(r["n_terms"]), "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]), "build_id": manifest["build_id"],
+                "status": "committed",
+            }
+            for r in mdf.collect()
         }
-        for r in rows
-    }
+        manifest.pop("shard_totals", None)
+    else:
+        # huge shard counts: refresh the external metrics table (its own
+        # versioned publish) and keep only totals inline
+        from .index_build import table_path
+
+        old_metrics = _publish_table(
+            index_dir, manifest, "shard_metrics",
+            lambda path: (
+                mdf.withColumn("build_id", F.lit(manifest["build_id"]))
+                .withColumn("status", F.lit("committed"))
+                .write.mode("overwrite").parquet(path)
+            ),
+        )
+        t_ = (
+            spark.read.parquet(table_path(index_dir, manifest, "shard_metrics"))
+            .agg(F.sum("n_postings").alias("p"), F.sum("bytes").alias("b"))
+            .collect()[0]
+        )
+        manifest["shards"] = "external"
+        manifest["shard_totals"] = {"n_postings": int(t_["p"] or 0),
+                                    "bytes": int(t_["b"] or 0)}
+        return [old, old_metrics]
     return [old]
