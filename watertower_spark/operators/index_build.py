@@ -343,12 +343,22 @@ def build_index(
 ) -> dict:
     """Build the full index at ``index_dir``.  Returns the manifest dict.
 
-    Writes parquet tables: doc_map, doc_stats, doc_store, postings
-    (partitioned by shard, sorted by term within files), tags — plus
-    _meta/manifest.json with doc_count, avgdl, shard layout, per-shard
-    lineage and postings/byte metrics (the north_rule checkpoint unit:
-    a shard that is present+committed in the manifest is skipped on
-    resume, see ``resume_missing_shards``).
+    Writes parquet tables: doc_map, doc_stats, doc_len, doc_store,
+    postings (partitioned by shard, sorted by term within files), tags —
+    plus _meta/manifest.json with doc_count, avgdl, shard layout,
+    per-shard lineage and postings/byte metrics (the north_rule
+    checkpoint unit: a shard present+committed in the metrics is
+    skipped on resume, see ``resume_build``).
+
+    Sizing ``docs_per_shard``: a shard is the unit of (a) one segment
+    kernel task's memory (its docs + packed postings are held in one
+    Python task), (b) query fan-out, and (c) incremental rewrite.  The
+    8192 default suits corpora up to ~10^8 docs on typical executors;
+    at 10^10-10^12 docs raise it toward 10^5-10^6 (task memory is the
+    bound: a shard's analyzed text + postings should stay within a few
+    hundred MB) and expect 10^5-10^7 shards — per-shard metrics then
+    externalize automatically (SHARD_METRICS_INLINE_MAX) and each
+    doc_len row grows to docs_per_shard*4 bytes.
     """
     spark = docs.sparkSession
     t0 = time.time()
