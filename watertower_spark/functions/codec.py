@@ -104,6 +104,9 @@ def encode_sorted(values) -> bytes:
     return encode_varint(deltas)
 
 
+_TF1_TABLE = [bytes((1, _p)) for _p in range(0x80)]
+
+
 def encode_position_list(positions) -> bytes:
     """Self-delimiting per-posting positions: varint(count) + delta gaps.
     Concatenations of these are exactly the pos_blob format consumed by
@@ -113,7 +116,12 @@ def encode_position_list(positions) -> bytes:
     Fully inlined single loop: this is called once per (doc, term) on
     the build hot path (~50 per document), where the function-call and
     concat overhead of composing encode_varint + encode_sorted measured
-    as the single largest kernel cost."""
+    as the single largest kernel cost.  Zipf corpora make tf=1 the
+    dominant case — small single positions come from a prebuilt table."""
+    if len(positions) == 1:
+        p = positions[0]
+        if p < 0x80:
+            return _TF1_TABLE[p]
     out = bytearray()
     d = len(positions)
     while d >= 0x80:
