@@ -43,6 +43,7 @@ def main() -> None:
 
     idx = tempfile.mkdtemp(prefix="wt_bench_idx_")
     timings: dict = {}
+    t_start = time.time()
 
     # ---- build ----
     # best-of-2: this sandbox's hypervisor is bimodal (identical builds
@@ -94,7 +95,10 @@ def main() -> None:
     query_times = [v for k, v in timings.items() if k.startswith("q_")]
     total = build_sec + sum(query_times)
     out = {
-        "metric": "index-build + reference query set wall time",
+        # best-of-N build + per-query medians — NOT raw wall clock (the
+        # extra noise-mitigation build run is excluded); raw wall clock
+        # is emitted separately so cross-round numbers stay comparable
+        "metric": "best-of-N build + reference query set composite",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
@@ -105,6 +109,7 @@ def main() -> None:
         "cpus": cpus,
         "n_shards": manifest["n_shards"],
         "build_runs": build_runs,
+        "raw_wall_sec": round(time.time() - t_start, 3),
     }
     shutil.rmtree(idx, ignore_errors=True)
     print(json.dumps(out))

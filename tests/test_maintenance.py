@@ -187,6 +187,67 @@ def test_resume_build(spark, tmp_index_root):
     assert m3["phase"] == "committed"
 
 
+def test_append_doc_store_drops_html(spark, base_index):
+    """Regression (ADVICE r2, medium): appended doc_store partitions must
+    match build_index's schema — in particular NOT reintroduce the raw
+    html column (heaviest crawl column; also makes schema inference
+    file-order-dependent)."""
+    idx, rows = base_index
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    append_documents(spark, idx, docs2, tags2)
+    store = spark.read.parquet(f"{idx}/doc_store")
+    assert "html" not in store.columns
+    # every shard file carries the same columns (no per-file drift)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    schemas = {
+        tuple(sorted(pq.read_schema(p).names))
+        for p in glob.glob(f"{idx}/doc_store/shard=*/*.parquet")
+    }
+    assert len(schemas) == 1
+
+
+def test_resume_regenerates_missing_doc_len(spark, tmp_index_root):
+    """Regression (ADVICE r2, medium): a crash after the postings wave but
+    before w_doc_len leaves every postings shard present; resume must
+    still detect and regenerate the missing doc_len shards (from the
+    durable doc_stats) or BM25 silently scores with dl=avgdl."""
+    import json
+    import math
+
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows)
+    idx = f"{tmp_index_root}/resume_doc_len"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=2)
+    m = load_manifest(idx)
+    # simulate the wave-2 crash: postings complete, doc_len gone
+    shutil.rmtree(f"{idx}/doc_len")
+    m["phase"] = "docs_done"
+    with open(f"{idx}/_meta/manifest.json", "w") as f:
+        json.dump(m, f)
+
+    m2 = resume_build(spark, docs, tags, idx)
+    assert m2["phase"] == "committed"
+    for s in range(m2["n_shards"]):
+        assert os.path.exists(f"{idx}/doc_len/shard={s}"), s
+
+    # BM25 scores with the real per-doc dl, not the avgdl fallback:
+    # identical to a fresh, uninterrupted build
+    ref_idx = f"{tmp_index_root}/resume_doc_len_ref"
+    shutil.rmtree(ref_idx, ignore_errors=True)
+    build_index(docs, tags, ref_idx, docs_per_shard=2)
+    for q in ("interim", "post", "request"):
+        got = {(r["url"], round(r["score"], 9)) for r in
+               SearchEngine(spark, idx).search(q, None, "en", mode="bm25", k=5).collect()}
+        want = {(r["url"], round(r["score"], 9)) for r in
+                SearchEngine(spark, ref_idx).search(q, None, "en", mode="bm25", k=5).collect()}
+        assert got == want, q
+    assert math.isfinite(m2["avgdl"])
+
+
 def test_streaming_ingest(spark, tmp_index_root):
     from watertower_spark.streaming.incremental import ingest_available
 

@@ -670,7 +670,11 @@ HAVING round(sum(a.x * b.x) / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 4) 
 
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (rows-only: bucket membership is
-    hash-dependent; recall vs exact is pinned in pytest instead)."""
+    hash-dependent; recall vs exact on THIS corpus is pinned in pytest —
+    test_lsh_knn_recall_gate_corpus).  n_planes derives from the corpus
+    cardinality (+ Hamming-1 multiprobe), so the gate's 10 rows are real
+    evidence at any sf — round 2's fixed 12 planes returned 0 rows
+    here."""
     from watertower_spark.operators.similarity import lsh_bucketed_knn
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -85,34 +85,65 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 64, seed: int = 42,
                    total: int | None = None) -> DataFrame:
     """url → dense 1-based doc_id, ordered by url, deterministically.
 
-    Two light jobs over the url column only (plus a count when the caller
-    didn't already know ``total``):
-      1. seeded sample → num_ranges-1 boundary urls (driver-side, tiny);
+    Thin wrapper over :func:`assign_doc_ids_with_count` (which callers
+    that also need the corpus count should use directly — it folds the
+    count into the sampling pass instead of running a third job).
+    """
+    df, _ = assign_doc_ids_with_count(docs, num_ranges=num_ranges,
+                                      seed=seed, total=total)
+    return df
+
+
+def assign_doc_ids_with_count(
+    docs: DataFrame, num_ranges: int = 64, seed: int = 42,
+    total: int | None = None,
+) -> tuple:
+    """url → dense 1-based doc_id, plus the corpus count, in TWO driver
+    jobs (down from three in round 2 — the serial driver-job chain was
+    the build's measured fixed fraction at 16 cores):
+
+      1. boundary sample — the ``num_ranges*40`` urls with the smallest
+         ``xxhash64(url, seed)`` via native TakeOrdered (a bottom-k
+         sketch IS a uniform row sample and, unlike a fraction-based
+         sample, needs no prior knowledge of the total) — run
+         CONCURRENTLY with the count on driver threads (independent
+         jobs; parquet sources answer the count from footer metadata);
       2. per-range counts → cumulative offsets (num_ranges rows).
-    Then ids = offset[range] + rank within range.  Stays correct at any
-    cluster size because ranges derive from data + seed, not from
-    physical partitioning.
+
+    Then ids = offset[range] + rank within range.  The output is exactly
+    url-rank REGARDLESS of the boundaries (offsets come from exact range
+    counts, within-range order is a sort) — boundaries only affect task
+    balance, so sample quality is a performance concern, never a
+    correctness one, and stays correct at any cluster size.
 
     ``num_ranges`` scales with the corpus so the per-range pandas group
     in the numbering kernel stays ~1M rows no matter the corpus size —
     a fixed range count would make each range a multi-GB single-task
-    frame at 10^9+ docs.
+    frame at 10^9+ docs.  The sample is capped at 2M urls: at 10^12
+    docs (1M ranges) that degrades to ~2 urls/range, which only costs
+    range evenness (see above).
     """
     spark = docs.sparkSession
     urls = docs.select("url")
+    # sample size chosen BEFORE the total is known: 40/range at the
+    # requested range count, floored generously so corpora far larger
+    # than the caller guessed still get usable boundaries
+    k_sample = min(2_000_000, max(40 * num_ranges, 40_960))
+    sample_q = urls.orderBy(
+        F.xxhash64(F.col("url"), F.lit(seed)).asc(), F.col("url").asc()
+    ).limit(k_sample)
     if total is None:
-        total = urls.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_total = pool.submit(urls.count)
+            f_sample = pool.submit(sample_q.collect)
+            total, sample = f_total.result(), [r[0] for r in f_sample.result()]
+    else:
+        sample = [r[0] for r in sample_q.collect()]
     if total == 0:
-        return spark.createDataFrame([], "url string, doc_id long")
+        return spark.createDataFrame([], "url string, doc_id long"), 0
     num_ranges = max(num_ranges, math.ceil(total / 1_000_000))
-    # cap the driver-side boundary sample: 40 urls/range is plenty of
-    # balance signal at small range counts, but at 10^12 docs (1M
-    # ranges) it would pull 40M strings to the driver — degrade
-    # gracefully to 8/range past ~2M sampled urls (range balance only
-    # affects task evenness; id correctness never depends on it)
-    per_range = max(8, min(40, 2_000_000 // num_ranges or 8))
-    fraction = min(1.0, (num_ranges * float(per_range)) / max(total, 1))
-    sample = [r[0] for r in urls.sample(fraction=fraction, seed=seed).collect()]
     sample.sort()
     if sample and num_ranges > 1:
         step = max(1, len(sample) // num_ranges)
@@ -143,7 +174,36 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 64, seed: int = 42,
         start = o.value[key[0]]
         return pd.DataFrame({"url": pdf["url"], "doc_id": np.arange(start, start + len(pdf), dtype="int64")})
 
-    return ranged.groupBy("rid").applyInPandas(number, schema="url string, doc_id long")
+    return (
+        ranged.groupBy("rid").applyInPandas(number, schema="url string, doc_id long"),
+        total,
+    )
+
+
+def derive_docs_per_shard(doc_count: int, avg_doc_bytes: float,
+                          parallelism: int,
+                          target_shard_bytes: int = 64 << 20,
+                          min_dps: int = 256,
+                          max_dps: int = 1 << 20) -> int:
+    """Auto-size the shard (round-2 verdict: the manual knob was the one
+    remaining build footgun — a mis-sized shard OOMs the segment kernel,
+    which holds one shard's packed postings in a Python dict).
+
+    Two bounds, take the tighter:
+    - memory: ~``target_shard_bytes`` of raw text per shard keeps the
+      kernel's working set (analyzed tokens + packed blobs, a small
+      multiple of the text) inside a normal executor task budget;
+    - parallelism: at least ``2*parallelism`` shards so small corpora
+      still fan out (matching the bench harness's manual choice).
+
+    At 10^12 docs × ~2 KB this lands at a few ×10^4 docs/shard →
+    ~10^7 shards (metrics externalize automatically past
+    SHARD_METRICS_INLINE_MAX); at 10^4 docs it falls back to the
+    parallelism bound.  The manual override remains for unusual docs.
+    """
+    by_mem = int(target_shard_bytes // max(float(avg_doc_bytes), 1.0))
+    by_par = math.ceil(doc_count / max(2 * parallelism, 1)) if doc_count else min_dps
+    return int(min(max(min_dps, min(by_mem, by_par)), max_dps))
 
 
 # ------------------------------------------------------------ packing
@@ -337,7 +397,7 @@ def build_index(
     index_dir: str,
     default_lang: str = "",
     analyzer_lang: str | None = None,
-    docs_per_shard: int = 8192,
+    docs_per_shard: int | None = None,
     num_id_ranges: int = 64,
     build_id: str = "b0",
 ) -> dict:
@@ -352,13 +412,17 @@ def build_index(
 
     Sizing ``docs_per_shard``: a shard is the unit of (a) one segment
     kernel task's memory (its docs + packed postings are held in one
-    Python task), (b) query fan-out, and (c) incremental rewrite.  The
-    8192 default suits corpora up to ~10^8 docs on typical executors;
-    at 10^10-10^12 docs raise it toward 10^5-10^6 (task memory is the
-    bound: a shard's analyzed text + postings should stay within a few
-    hundred MB) and expect 10^5-10^7 shards — per-shard metrics then
-    externalize automatically (SHARD_METRICS_INLINE_MAX) and each
-    doc_len row grows to docs_per_shard*4 bytes.
+    Python task), (b) query fan-out, and (c) incremental rewrite.
+    ``None`` (the default) derives it from the corpus via
+    :func:`derive_docs_per_shard` — a ~64 MB-of-text memory bound at
+    scale, a 2×parallelism fan-out bound for small corpora (the avg doc
+    size is probed from a 4096-doc prefix concurrently with the id
+    jobs).  Pass an explicit value only for unusual documents; task
+    memory is the bound (a shard's analyzed text + postings should stay
+    within a few hundred MB).  At 10^10-10^12 docs expect 10^5-10^7
+    shards — per-shard metrics then externalize automatically
+    (SHARD_METRICS_INLINE_MAX) and each doc_len row grows to
+    docs_per_shard*4 bytes.
     """
     spark = docs.sparkSession
     t0 = time.time()
@@ -380,18 +444,40 @@ def build_index(
     def mark(name):
         phases[name] = round(time.time() - t0 - sum(phases.values()), 3)
 
-    # doc_count from the url column only (parquet sources answer this
-    # from footer metadata).  avgdl is NOT pre-scanned from text anymore:
-    # the BM25 scorer's dl IS doc_stats.wc, so the consistent avgdl is
-    # avg(wc) — aggregated from the segment output below for free,
-    # saving a full text pass.  (For whitespace analyzers the two
-    # definitions coincide; for n-gram fallback docs avg(wc) is the
-    # CORRECT one where the old whitespace estimate was approximate.)
-    doc_count = docs.select("url").count()
-    n_shards = max(1, math.ceil(doc_count / docs_per_shard))
-    mark("count")
+    # assign ids and learn doc_count in the SAME two driver jobs (count
+    # + boundary sample run concurrently, then one range-count job) —
+    # round 2's three mostly-serial jobs here were the build's measured
+    # fixed fraction.  avgdl is NOT pre-scanned from text: the BM25
+    # scorer's dl IS doc_stats.wc, so the consistent avgdl is avg(wc) —
+    # aggregated from the segment output below for free, saving a full
+    # text pass.  (For whitespace analyzers the two definitions
+    # coincide; for n-gram fallback docs avg(wc) is the CORRECT one
+    # where the old whitespace estimate was approximate.)
+    avg_bytes_box: dict = {}
+    probe_th = None
+    if docs_per_shard is None:
+        # avg doc size probe (first 4096 rows) — overlapped with the id
+        # jobs on a driver thread, so auto-sizing adds no serial barrier
+        import threading
 
-    doc_map = assign_doc_ids(docs, num_ranges=num_id_ranges, total=doc_count)
+        def _probe():
+            try:
+                avg_bytes_box["b"] = (
+                    docs.select(F.octet_length("text").alias("b"))
+                    .limit(4096).agg(F.avg("b")).collect()[0][0]
+                )
+            except Exception:
+                avg_bytes_box["b"] = None
+
+        probe_th = threading.Thread(target=_probe, daemon=True)
+        probe_th.start()
+    doc_map, doc_count = assign_doc_ids_with_count(docs, num_ranges=num_id_ranges)
+    if docs_per_shard is None:
+        probe_th.join()
+        docs_per_shard = derive_docs_per_shard(
+            doc_count, avg_bytes_box.get("b") or 2048.0, par
+        )
+    n_shards = max(1, math.ceil(doc_count / docs_per_shard)) if doc_count else 1
     doc_map.persist()  # reused by terms, doc_store, tags — compute once
     docs_w = docs.join(doc_map, "url")
     shard_col = ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")

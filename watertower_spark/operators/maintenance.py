@@ -175,7 +175,10 @@ def append_documents(spark: SparkSession, index_dir: str,
     _write_doc_len(doc_stats, index_dir, dps, "append")
     release_terms()
     ids.write.mode("append").parquet(doc_map_dir)
-    docs_w.withColumn("shard", _shard_col(dps)) \
+    # raw html is NOT copied into the index (matches build_index's
+    # doc_store schema — appended shard files must not reintroduce the
+    # crawl's heaviest column, nor make schema inference file-dependent)
+    docs_w.drop("html").withColumn("shard", _shard_col(dps)) \
         .write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_store")
 
     total = m["doc_count"] + n_new
@@ -440,6 +443,18 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
                 todo.select("doc_id"), "doc_id"
             )
         _rewrite_shards(spark, index_dir, m, todo, tag_rows, missing)
+    # doc_len is a wave-2 table: a crash after the postings wave finished
+    # but before w_doc_len leaves all postings shards present (missing =
+    # []) with doc_len absent/partial — the BM25 kernels would then fall
+    # back to dl=avgdl and score WRONG with phase=committed.  Regenerate
+    # any still-missing doc_len shards from the durable doc_stats table.
+    have_len = set(fsio.list_shard_dirs(f"{index_dir}/doc_len"))
+    need_len = sorted(set(range(m["n_shards"])) - have_len)
+    if need_len:
+        stats = spark.read.parquet(f"{index_dir}/doc_stats") \
+            .where(F.col("shard").isin(need_len))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        _write_doc_len(stats, index_dir, m["docs_per_shard"], "overwrite")
     m["phase"] = "committed"
     m["build_id"] = m["build_id"] + "+res"
     gc = _refresh_shard_metrics(spark, index_dir, m)

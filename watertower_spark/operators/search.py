@@ -98,6 +98,14 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
         def dl_of(ids: np.ndarray) -> np.ndarray:
             if dl_arr is None:
+                # postings without a doc_len row = an index integrity gap
+                # (interrupted wave-2 write) — score degraded but LOUDLY
+                import warnings
+
+                warnings.warn(
+                    "shard has postings but no doc_len row; BM25 falls "
+                    "back to dl=avgdl (run resume_build to repair)"
+                )
                 return np.full(ids.size, avgdl, dtype="float64")
             return dl_arr[ids - base - 1].astype("float64")
 

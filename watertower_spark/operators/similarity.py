@@ -170,18 +170,54 @@ def ivf_knn(assigned: DataFrame, centers: np.ndarray, query_vec: list,
     return cosine_topk_arrow(cand.select("vec_id", "embedding"), q.tolist(), k)
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 32,
+                  lo: int = 2, hi: int = 24) -> int:
+    """Plane count from corpus cardinality: aim for ~``target_bucket``
+    vectors per bucket (expected occupancy N/2^planes).  Round 2's fixed
+    n_planes=12 made expected occupancy ≪1 at small/sparse corpora, so
+    the query collided with nothing and top-k silently returned empty —
+    the plane count must FOLLOW the data, exactly like IVF's n_lists."""
+    import math
+
+    return max(lo, min(hi, int(math.log2(max(n_vectors / max(target_bucket, 1), 2.0)))))
+
+
 def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
-                     n_planes: int = 12, n_tables: int = 4, seed: int = 11) -> DataFrame:
+                     n_planes: int | None = None, n_tables: int = 4,
+                     seed: int = 11, multiprobe: int = 1,
+                     n_vectors: int | None = None) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table bucket
-    with the query; exact cosine re-rank of candidates only."""
+    with the query (plus, with ``multiprobe`` ≥ 1, buckets within that
+    Hamming distance of the query's code — the standard recall rescue
+    for unlucky hyperplane splits at zero index cost); exact cosine
+    re-rank of candidates only.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (``n_vectors``, counted if not supplied — parquet sources answer
+    that from footer metadata) so bucket occupancy lands near the
+    target regardless of scale."""
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_planes = auto_n_planes(n_vectors)
     q = np.asarray(query_vec, dtype=np.float64)
     dim = q.shape[0]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
-    q_buckets = [
-        (t, int(((planes[t] @ q > 0) * (1 << np.arange(n_planes))).sum()))
-        for t in range(n_tables)
-    ]
+    weights = 1 << np.arange(n_planes)
+    q_buckets = []
+    for t in range(n_tables):
+        bits = (planes[t] @ q > 0).astype(np.int64)
+        base_code = int((bits * weights).sum())
+        probes = {base_code}
+        if multiprobe >= 1:
+            for i in range(n_planes):
+                probes.add(base_code ^ (1 << i))  # Hamming-1 neighbors
+        if multiprobe >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add(base_code ^ (1 << i) ^ (1 << j))
+        q_buckets.extend((t, c) for c in sorted(probes))
     codes = lsh_bucket_codes(emb, n_planes, n_tables, dim, seed)
     qb = emb.sparkSession.createDataFrame(q_buckets, "table int, bucket long")
     cand_ids = codes.join(F.broadcast(qb), ["table", "bucket"]).select("vec_id").distinct()

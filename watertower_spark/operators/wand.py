@@ -5,7 +5,12 @@ engine also needs OR semantics.  Classic WAND/maxscore are pointer-
 chasing algorithms designed for serial CPUs; inside an Arrow batch the
 profitable formulation is vectorized **maxscore**:
 
-1. per term, a global upper bound ub_t = idf·(k1+1)·max(block_max_w);
+1. per term, a global upper bound derived from the per-block
+   (block_max_tf, block_min_dl) sidecars evaluated under the LIVE
+   avgdl: ub_t = max over blocks of idf·(k1+1)·tf_max/(tf_max +
+   k1·(1-b+b·dl_min/avgdl)) — sound under avgdl drift from appends/
+   removals (the pack-time block_max_w column is diagnostic only and
+   MUST NOT be used for pruning);
 2. bootstrap the top-k threshold θ from the highest-ub term alone
    (its kth-best single-term score is a valid lower bound on the final
    kth-best total);
@@ -84,6 +89,12 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
         def dl_of(ids):
             if dl_arr is None:
+                import warnings
+
+                warnings.warn(
+                    "shard has postings but no doc_len row; BM25 falls "
+                    "back to dl=avgdl (run resume_build to repair)"
+                )
                 return np.full(ids.size, avgdl, dtype="float64")
             return dl_arr[ids - base - 1].astype("float64")
 
