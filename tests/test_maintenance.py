@@ -187,6 +187,90 @@ def test_resume_build(spark, tmp_index_root):
     assert m3["phase"] == "committed"
 
 
+def _ts_recomputed(spark, idx):
+    """Ground truth: full re-aggregation over the whole postings table."""
+    p = spark.read.parquet(f"{idx}/postings")
+    return {
+        (r["term"], r["df"], r["cf"], tuple(r["shards"]))
+        for r in p.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        ).collect()
+    }
+
+
+def _ts_published(spark, idx):
+    from watertower_spark.operators.index_build import table_path
+
+    m = load_manifest(idx)
+    return {
+        (r["term"], r["df"], r["cf"], tuple(r["shards"]))
+        for r in spark.read.parquet(table_path(idx, m, "term_stats")).collect()
+    }
+
+
+def test_incremental_stats_touch_only_affected_shards(spark, base_index, monkeypatch):
+    """Round-2 verdict #3: a mutation must update term_stats/avgdl/shard
+    metrics from the AFFECTED shards' deltas — never a full postings or
+    doc_stats re-scan.  Instrumented via the path-scoped reader (the
+    only way mutation stats code may touch those tables): every read's
+    inputFiles() must stay inside the requested shard dirs, and the
+    incrementally merged term_stats must equal a full recompute."""
+    import math
+
+    import watertower_spark.operators.maintenance as mt
+
+    idx, rows = base_index  # 5 docs, docs_per_shard=3 → shards {0,1}
+    calls = []
+    real = mt._read_shard_table
+
+    def spy(spark_, index_dir, table, shards):
+        df = real(spark_, index_dir, table, shards)
+        if df is not None:
+            allowed = tuple(f"{index_dir}/{table}/shard={int(s)}" for s in shards)
+            for f in df.inputFiles():
+                local = "/" + f.split("://", 1)[-1].lstrip("/")
+                assert local.startswith(allowed), (table, shards, f)
+        calls.append((table, sorted(int(s) for s in shards)))
+        return df
+
+    monkeypatch.setattr(mt, "_read_shard_table", spy)
+
+    # --- append: only the NEW shard(s) may be touched ---
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    m = append_documents(spark, idx, docs2, tags2)
+    new_shards = set(range(2, m["n_shards"]))
+    for table, shards in calls:
+        assert set(shards) <= new_shards, (table, shards)
+    assert _ts_published(spark, idx) == _ts_recomputed(spark, idx)
+
+    # --- upsert one doc in shard 0: only shard 0 may be touched ---
+    calls.clear()
+    changed = {**rows[0], "text": "100 Continue\n\nxylophone zebra content."}
+    docs_u, tags_u = _mkdocs(spark, [changed])
+    m = upsert_documents(spark, idx, docs_u, tags_u)
+    assert calls, "upsert must go through the path-scoped reader"
+    for table, shards in calls:
+        assert set(shards) == {0}, (table, shards)
+    assert _ts_published(spark, idx) == _ts_recomputed(spark, idx)
+
+    # --- remove one doc (shard 0) ---
+    calls.clear()
+    victims = spark.createDataFrame([(rows[1]["url"],)], "url string")
+    m = remove_documents(spark, idx, victims)
+    assert calls
+    for table, shards in calls:
+        assert set(shards) == {0}, (table, shards)
+    assert _ts_published(spark, idx) == _ts_recomputed(spark, idx)
+
+    # manifest invariant holds through the whole churn: avgdl == the
+    # exact quantity the BM25 scorer divides by, tracked via Σwc deltas
+    stats = [r["wc"] for r in spark.read.parquet(f"{idx}/doc_stats").collect()]
+    assert math.isclose(m["avgdl"], sum(stats) / len(stats))
+    assert math.isclose(m["sum_wc"], sum(stats))
+    assert m["doc_count"] == len(stats)
+
+
 def test_append_doc_store_drops_html(spark, base_index):
     """Regression (ADVICE r2, medium): appended doc_store partitions must
     match build_index's schema — in particular NOT reintroduce the raw

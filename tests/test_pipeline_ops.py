@@ -197,13 +197,50 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_video_frames(media, every_ms=5000)
     fr = frames.collect()
     assert len(fr) > 0
+    assert all(r["ok"] for r in fr)  # REAL Y4M decode succeeded
     by_media = {}
     for r in fr:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        # the frame payload is the decoded luma plane, not a byte slice
+        assert len(r["frame"]) == r["width"] * r["height"]
     durations = {r["media_id"]: r["duration_ms"] for r in media.collect() if r["kind"] == "video"}
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) == max(1, durations[mid] // 5000)
+
+    # dirty payloads: same fan-out shape, ok=false, no task retries
+    bad = spark.createDataFrame(
+        [(999, "video", b"\x00garbage", "video/mp4", 16, 16, 12000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    bad_rows = multimodal.sample_video_frames(bad, every_ms=5000).collect()
+    assert len(bad_rows) == 2 and not any(r["ok"] for r in bad_rows)
+    assert "YUV4MPEG2" in bad_rows[0]["err"]
+
+
+def test_multimodal_real_video_decode_roundtrip():
+    """Y4M decode is REAL: encode → decode is the identity on the luma
+    planes for both mono and 4:2:0 streams (the chroma skip must land
+    every frame offset exactly), and fps metadata survives."""
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, size=(7, 12, 16), dtype=np.uint8)
+    for cs in ("Cmono", "C420jpeg"):
+        back, fps, got_cs = multimodal.decode_y4m(
+            multimodal.encode_y4m(frames, fps=(30, 1), colorspace=cs)
+        )
+        assert (back == frames).all(), cs
+        assert fps == (30, 1) and got_cs == cs
+    # header-only and truncated streams fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_y4m(b"YUV4MPEG2 W16 H12 F30:1 Ip A1:1 Cmono\n")
+    with _pytest.raises(ValueError):
+        multimodal.decode_y4m(
+            multimodal.encode_y4m(frames, colorspace="Cmono")[:-5]
+        )
+    with _pytest.raises(ValueError):
+        multimodal.decode_y4m(b"\x00\x00not a stream")
 
 
 def test_multimodal_real_image_decode_roundtrip():

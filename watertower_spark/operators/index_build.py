@@ -548,10 +548,11 @@ def build_index(
             f_.result()
     # avgdl = average analyzed document length — the exact quantity the
     # BM25 scorer divides by.  One tiny agg over the (now cached) stat
-    # rows; no extra pass over the corpus.
-    avgdl = float(
-        doc_stats.agg(F.avg("wc")).collect()[0][0] or 0.0
-    )
+    # rows; no extra pass over the corpus.  Σwc is kept in the manifest
+    # as a running total so incremental mutations update avgdl from
+    # their own delta instead of re-scanning doc_stats (maintenance).
+    sum_wc = float(doc_stats.agg(F.sum("wc")).collect()[0][0] or 0.0)
+    avgdl = sum_wc / doc_count if doc_count else 0.0
     # checkpoint: the doc phase is durable — an interrupted postings phase
     # resumes from here without re-analyzing committed work (resume_build)
     skeleton = {
@@ -560,6 +561,7 @@ def build_index(
         "build_id": build_id,
         "doc_count": doc_count,
         "avgdl": avgdl,
+        "sum_wc": sum_wc,
         "docs_per_shard": docs_per_shard,
         "n_shards": n_shards,
         "default_lang": default_lang,

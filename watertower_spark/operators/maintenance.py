@@ -97,6 +97,15 @@ def _publish_table(index_dir: str, manifest: dict, name: str, write_fn) -> str:
     return f"{index_dir}/{cur}"
 
 
+def _manifest_sum_wc(m: dict) -> float:
+    """Running Σwc (kept in the manifest since r3 so mutations never
+    re-scan doc_stats for avgdl); derived for pre-r3 manifests."""
+    v = m.get("sum_wc")
+    if v is not None:
+        return float(v)
+    return float(m.get("avgdl", 0.0)) * float(m.get("doc_count", 0))
+
+
 def _shard_col(docs_per_shard: int):
     return ((F.col("doc_id") - 1) / docs_per_shard).cast("int").alias("shard")
 
@@ -173,6 +182,9 @@ def append_documents(spark: SparkSession, index_dir: str,
     doc_stats, release_terms = _build_shard_tables(spark, docs_w, tags_w, m, index_dir, "append")
     doc_stats.write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_stats")
     _write_doc_len(doc_stats, index_dir, dps, "append")
+    # Σwc of the appended batch only — from the cached analysis, not a
+    # doc_stats table scan (incremental-avgdl invariant)
+    delta_wc = float(doc_stats.agg(F.sum("wc")).collect()[0][0] or 0.0)
     release_terms()
     ids.write.mode("append").parquet(doc_map_dir)
     # raw html is NOT copied into the index (matches build_index's
@@ -182,14 +194,20 @@ def append_documents(spark: SparkSession, index_dir: str,
         .write.mode("append").partitionBy("shard").parquet(f"{index_dir}/doc_store")
 
     total = m["doc_count"] + n_new
-    new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0][0]
+    new_n_shards = max(m["n_shards"], math.ceil((base + n_new) / dps))
+    new_shards = list(range(m["n_shards"], new_n_shards))
+    sum_wc = _manifest_sum_wc(m) + delta_wc
     m.update(
         doc_count=total,
-        avgdl=float(new_avg),
-        n_shards=max(m["n_shards"], math.ceil((base + n_new) / dps)),
+        sum_wc=sum_wc,
+        avgdl=sum_wc / total if total else 0.0,
+        n_shards=new_n_shards,
         build_id=m["build_id"] + "+a",
     )
-    gc = _refresh_shard_metrics(spark, index_dir, m)
+    # appended shards are brand new (ids start at the next shard
+    # boundary) → nothing to subtract; only their stats fold in
+    gc = _apply_stats_delta(spark, index_dir, m, new_shards,
+                            old_term_contrib=None)
     _save_manifest(index_dir, m, "append")
     _gc_dirs(gc)
     return m
@@ -215,6 +233,11 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
         fsio.delete_dir(tmp_victims)
         return m
     n_removed = victims.count()
+
+    # BEFORE the rewrite: materialize the affected shards' OLD stats
+    # contribution (path-scoped — only these shards' files are read)
+    old_contrib, old_contrib_dir = _snapshot_old_contrib(spark, index_dir, shards)
+    old_wc = _wc_sum(spark, index_dir, shards)
 
     store = spark.read.parquet(f"{index_dir}/doc_store")
     # kept rows of the affected shards, ALL columns, materialized — the
@@ -262,11 +285,17 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     kept_small.unpersist()
 
     m.update(doc_count=m["doc_count"] - n_removed, build_id=m["build_id"] + "+r")
-    new_avg = spark.read.parquet(f"{index_dir}/doc_stats").agg(F.avg("wc")).collect()[0]
-    m["avgdl"] = float(new_avg[0] or 0.0)
-    gc += _refresh_shard_metrics(spark, index_dir, m)
+    # AFTER the rewrite: the affected shards' NEW Σwc (fully-removed
+    # shard dirs are gone and skipped) — avgdl updates from the delta,
+    # never a full doc_stats scan
+    new_wc = _wc_sum(spark, index_dir, shards)
+    sum_wc = _manifest_sum_wc(m) - old_wc + new_wc
+    m["sum_wc"] = sum_wc
+    m["avgdl"] = sum_wc / m["doc_count"] if m["doc_count"] else 0.0
+    gc += _apply_stats_delta(spark, index_dir, m, shards,
+                             old_term_contrib=old_contrib)
     _save_manifest(index_dir, m, "remove")
-    gc.append(tmp_victims)
+    gc += [tmp_victims, old_contrib_dir]
     _gc_dirs(gc)
     return m
 
@@ -284,6 +313,9 @@ def upsert_documents(spark: SparkSession, index_dir: str,
     n_upd = updated.count()
     if n_upd:
         shards = [r["shard"] for r in updated.select(_shard_col(dps)).distinct().collect()]
+        # pre-rewrite stats contribution of the affected shards only
+        old_contrib, old_contrib_dir = _snapshot_old_contrib(spark, index_dir, shards)
+        old_wc = _wc_sum(spark, index_dir, shards)
         store = spark.read.parquet(f"{index_dir}/doc_store")
         untouched = (
             store.where(F.col("shard").isin(shards))
@@ -324,12 +356,16 @@ def upsert_documents(spark: SparkSession, index_dir: str,
             .parquet(f"{index_dir}/doc_store")
         new_store.unpersist()
         m["build_id"] = m["build_id"] + "+u"
-        # re-analysis changed document lengths → avgdl must follow
-        new_avg = spark.read.parquet(f"{index_dir}/doc_stats") \
-            .agg(F.avg("wc")).collect()[0][0]
-        m["avgdl"] = float(new_avg or 0.0)
-        gc = _refresh_shard_metrics(spark, index_dir, m)
+        # re-analysis changed document lengths → avgdl must follow,
+        # via the affected shards' Σwc delta (no full doc_stats scan)
+        new_wc = _wc_sum(spark, index_dir, shards)
+        sum_wc = _manifest_sum_wc(m) - old_wc + new_wc
+        m["sum_wc"] = sum_wc
+        m["avgdl"] = sum_wc / m["doc_count"] if m["doc_count"] else 0.0
+        gc = _apply_stats_delta(spark, index_dir, m, shards,
+                                old_term_contrib=old_contrib)
         _save_manifest(index_dir, m, "upsert")
+        gc.append(old_contrib_dir)
         _gc_dirs(gc)
 
     fresh = docs.join(doc_map, "url", "left_anti")
@@ -471,6 +507,210 @@ def _gc_dirs(paths: list) -> None:
 
     for p in paths:
         fsio.delete_dir(p)
+
+
+def _read_shard_table(spark, index_dir: str, table: str, shards) -> "DataFrame | None":
+    """Read ONLY the given shards' partitions of a shard-partitioned
+    table, path-scoped (with basePath so the shard column survives).
+
+    By CONSTRUCTION no other shard's files can be listed or opened —
+    the property the incremental-stats test pins via ``inputFiles()``.
+    (Partition pruning via ``.where(shard.isin(...))`` would usually
+    achieve the same IO, but path-scoping makes it a structural
+    guarantee instead of an optimizer outcome — at 10^5+ shards even
+    the file LISTING of a full table is a cost.)  Missing shard dirs
+    (e.g. a shard whose docs were all removed) are skipped; returns
+    None when none of the requested shards exist."""
+    from watertower_spark.functions import fsio
+
+    base = f"{index_dir}/{table}"
+    paths = [f"{base}/shard={int(s)}" for s in shards]
+    existing = [p for p in paths if fsio.exists(p)]
+    if not existing:
+        return None
+    return spark.read.option("basePath", base).parquet(*existing)
+
+
+def _term_contrib(postings) -> "DataFrame":
+    """Per-term (df, cf, shards) contribution of a postings subset."""
+    return postings.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.sort_array(F.collect_set("shard")).alias("shards"),
+    )
+
+
+def _shard_contrib_rows(postings) -> list:
+    """Per-shard metric rows of a postings subset (tiny collect)."""
+    return (
+        postings.groupBy("shard")
+        .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"),
+             F.sum("bytes").alias("bytes"))
+        .collect()
+    )
+
+
+def _snapshot_old_contrib(spark, index_dir: str, shards):
+    """Materialize the affected shards' pre-rewrite per-term stats
+    contribution to a _tmp dir and read it back.  A ``persist()`` is NOT
+    enough: the shard rewrite's overwrite triggers Spark's
+    ``refreshByPath`` cache invalidation on the postings path, after
+    which the 'cached' plan would recompute from files the rewrite just
+    deleted (the same lineage break _tmp_victims exists for).  Returns
+    ``(df_or_None, tmp_dir)``; the caller GCs the dir after the
+    manifest commit."""
+    old_postings = _read_shard_table(spark, index_dir, "postings", shards)
+    tmp = f"{index_dir}/_tmp_old_contrib"
+    if old_postings is None:
+        return None, tmp
+    _term_contrib(old_postings).write.mode("overwrite").parquet(tmp)
+    return spark.read.parquet(tmp), tmp
+
+
+def _wc_sum(spark, index_dir: str, shards) -> float:
+    """Σwc over the given shards' doc_stats partitions (path-scoped)."""
+    ds = _read_shard_table(spark, index_dir, "doc_stats", shards)
+    if ds is None:
+        return 0.0
+    return float(ds.agg(F.sum("wc")).collect()[0][0] or 0.0)
+
+
+def _apply_stats_delta(spark, index_dir: str, manifest: dict,
+                       affected_shards: list,
+                       old_term_contrib=None) -> list:
+    """Incrementally fold the affected shards' statistics into
+    term_stats + shard metrics — reading ONLY those shards' postings
+    partitions, never the full table (round-2 verdict: the per-mutation
+    full-metadata re-scan was the remaining scale-killer at 10^5+
+    shards; a one-shard append must not touch the other 10^5 shards).
+
+    ``old_term_contrib`` is the affected shards' per-term contribution
+    MATERIALIZED BEFORE the rewrite (None for pure appends, whose
+    shards are brand new).  The merge is:
+
+        df' = df  - df_old + df_new     (term dropped when df' <= 0)
+        shards' = (shards \\ affected) ∪ shards_new
+
+    Returns superseded table dirs for the caller to GC after the
+    manifest commit."""
+    from .index_build import SHARD_METRICS_INLINE_MAX, table_path
+
+    new_postings = _read_shard_table(spark, index_dir, "postings", affected_shards)
+    ts = spark.read.parquet(table_path(index_dir, manifest, "term_stats"))
+
+    empty_i = F.array().cast("array<int>")
+    affected_arr = (
+        F.array(*[F.lit(int(s)) for s in affected_shards]).cast("array<int>")
+        if affected_shards else empty_i
+    )
+    old_c = (
+        old_term_contrib.select(
+            "term", F.col("df").alias("df_old"), F.col("cf").alias("cf_old")
+        )
+        if old_term_contrib is not None
+        else None
+    )
+    new_c = (
+        _term_contrib(new_postings).select(
+            "term", F.col("df").alias("df_new"), F.col("cf").alias("cf_new"),
+            F.col("shards").alias("shards_new"),
+        )
+        if new_postings is not None
+        else None
+    )
+    merged = ts
+    if old_c is not None:
+        merged = merged.join(old_c, "term", "full_outer")
+    else:
+        merged = merged.withColumn("df_old", F.lit(None).cast("long")) \
+                       .withColumn("cf_old", F.lit(None).cast("long"))
+    if new_c is not None:
+        merged = merged.join(new_c, "term", "full_outer")
+    else:
+        merged = merged.withColumn("df_new", F.lit(None).cast("long")) \
+                       .withColumn("cf_new", F.lit(None).cast("long")) \
+                       .withColumn("shards_new", F.lit(None).cast("array<int>"))
+    z = lambda c: F.coalesce(F.col(c).cast("long"), F.lit(0))
+    merged = (
+        merged.select(
+            "term",
+            (z("df") - z("df_old") + z("df_new")).alias("df"),
+            (z("cf") - z("cf_old") + z("cf_new")).alias("cf"),
+            F.sort_array(
+                F.array_distinct(
+                    F.concat(
+                        F.array_except(
+                            F.coalesce(F.col("shards"), empty_i), affected_arr
+                        ),
+                        F.coalesce(F.col("shards_new"), empty_i),
+                    )
+                )
+            ).alias("shards"),
+        )
+        .where(F.col("df") > 0)
+        # the merge plan reads the very term_stats files the publish
+        # below supersedes — but into a NEW versioned dir, so no
+        # overlap; still persist nothing, it is a straight write
+    )
+    gc = [_publish_table(
+        index_dir, manifest, "term_stats",
+        lambda path: merged.write.mode("overwrite").parquet(path),
+    )]
+
+    # ---- shard metrics: patch ONLY affected entries ----
+    new_rows = _shard_contrib_rows(new_postings) if new_postings is not None else []
+    if manifest.get("shards") != "external" and \
+            manifest.get("n_shards", 0) <= SHARD_METRICS_INLINE_MAX:
+        shards_map = manifest.get("shards") or {}
+        if not isinstance(shards_map, dict):
+            shards_map = {}
+        for s in affected_shards:
+            shards_map.pop(str(int(s)), None)
+        for r in new_rows:
+            shards_map[str(int(r["shard"]))] = {
+                "n_terms": int(r["n_terms"]), "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]), "build_id": manifest["build_id"],
+                "status": "committed",
+            }
+        manifest["shards"] = shards_map
+        manifest.pop("shard_totals", None)
+    else:
+        # external metrics table: old rows minus affected, plus fresh
+        # rows — reads the (one-row-per-shard) metrics table, never
+        # the postings
+        mt_schema = ("shard int, n_terms long, n_postings long, bytes long, "
+                     "build_id string, status string")
+        if isinstance(manifest.get("shards"), dict):
+            # inline → external transition (append grew past the
+            # threshold): seed the table from the inline entries
+            old_mt = spark.createDataFrame(
+                [(int(s), int(v["n_terms"]), int(v["n_postings"]),
+                  int(v["bytes"]), v.get("build_id", ""), v.get("status", "committed"))
+                 for s, v in manifest["shards"].items()],
+                mt_schema,
+            )
+        else:
+            mt_path = table_path(index_dir, manifest, "shard_metrics")
+            old_mt = spark.read.parquet(mt_path)
+        keep = old_mt.where(~F.col("shard").isin([int(s) for s in affected_shards]))
+        add = spark.createDataFrame(
+            [(int(r["shard"]), int(r["n_terms"]), int(r["n_postings"]),
+              int(r["bytes"]), manifest["build_id"], "committed")
+             for r in new_rows],
+            mt_schema,
+        )
+        mt_new = keep.unionByName(add).persist()
+        mt_new.count()  # materialize before the old files are superseded
+        gc.append(_publish_table(
+            index_dir, manifest, "shard_metrics",
+            lambda path: mt_new.write.mode("overwrite").parquet(path),
+        ))
+        t_ = mt_new.agg(F.sum("n_postings").alias("p"), F.sum("bytes").alias("b")).collect()[0]
+        mt_new.unpersist()
+        manifest["shards"] = "external"
+        manifest["shard_totals"] = {"n_postings": int(t_["p"] or 0),
+                                    "bytes": int(t_["b"] or 0)}
+    return gc
 
 
 def _refresh_shard_metrics(spark, index_dir, manifest) -> list:

@@ -12,9 +12,12 @@ is drawn at what pure numpy + the stdlib can parse):
 - **audio** — REAL decode/encode for WAV PCM16 via the stdlib ``wave``
   module; features (duration, RMS, zero-crossing rate) computed from
   the actual samples.
-- **video** — STUB: frame sampling keeps the real fan-out shape
-  (bounded row explosion by duration/every_ms) but the "frame" bytes
-  are a deterministic payload slice; pyav would replace ``_video_frame``.
+- **video** — REAL decode/encode for YUV4MPEG2 (Y4M), the classic
+  uncompressed video container (plain-text stream/frame headers +
+  raw planar frames; Cmono/C420*/C422/C444 colorspaces): frame
+  sampling decodes the actual luma planes at the sampled timestamps.
+  Compressed containers (mp4/webm) raise into the (ok=false, err)
+  row contract; pyav slots into ``decode_y4m``'s place when available.
 
 Dirty-payload posture is part of the contract everywhere: decode
 failures become (ok=false, err) rows, never task retries — required at
@@ -43,7 +46,10 @@ AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_ms int, "
     "rms double, zcr double, ok boolean, err string"
 )
-FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, t_ms int, frame binary, "
+    "width int, height int, ok boolean, err string"
+)
 
 
 # ------------------------------------------------------------ real codecs
@@ -118,6 +124,80 @@ def decode_wav(payload: bytes) -> tuple:
     return samples, rate
 
 
+def encode_y4m(y_frames: np.ndarray, fps: tuple = (25, 1),
+               colorspace: str = "Cmono") -> bytes:
+    """uint8 (n, h, w) luma frames → YUV4MPEG2 bytes.
+
+    ``Cmono`` writes luma only; ``C420jpeg`` adds neutral (128) chroma
+    planes — both are valid Y4M streams any y4m-aware tool accepts."""
+    n, h, w = y_frames.shape
+    assert y_frames.dtype == np.uint8
+    parts = [
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+        % (w, h, fps[0], fps[1], colorspace.encode())
+    ]
+    neutral = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(y_frames[i].tobytes())
+        if colorspace.startswith("C420"):
+            parts += [neutral, neutral]
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple:
+    """REAL Y4M decode → (luma frames uint8 (n, h, w), (fps_num,
+    fps_den), colorspace).  Chroma planes are skipped by exact offset
+    (not decoded — the feature/sampling consumers here are luma-based),
+    which still requires parsing every frame header correctly.
+    Raises ValueError for anything that is not a YUV4MPEG2 stream."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("unsupported video format (only YUV4MPEG2 decodable here)")
+    nl = payload.index(b"\n")
+    w = h = None
+    fn, fd = 25, 1
+    cs = "C420jpeg"  # the Y4M default when no C tag is present
+    for p in payload[9:nl].split():
+        tag = p[:1]
+        if tag == b"W":
+            w = int(p[1:])
+        elif tag == b"H":
+            h = int(p[1:])
+        elif tag == b"F":
+            a, b = p[1:].split(b":")
+            fn, fd = int(a), int(b)
+        elif tag == b"C":
+            cs = p.decode()
+    if not w or not h:
+        raise ValueError("Y4M stream header missing W/H")
+    if cs.startswith("C420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("C422"):
+        fsize = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith("C444"):
+        fsize = 3 * w * h
+    elif cs.startswith("Cmono"):
+        fsize = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame header")
+        pos = fnl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w)
+        )
+        pos += fsize
+    if not frames:
+        raise ValueError("Y4M stream contains no frames")
+    return np.stack(frames), (fn, fd), cs
+
+
 # ------------------------------------------------------------ synthesizer
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -141,10 +221,14 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             sig = (6000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
             payload, mime, w, h = encode_wav_pcm16(sig, rate), "audio/wav", 0, 0
         else:
-            payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                                    dtype=np.uint8).tobytes()
-            mime, w, h = "video/mp4", int(rng.integers(16, 256)), int(rng.integers(16, 256))
+            w, h = int(rng.integers(8, 32)) * 2, int(rng.integers(8, 32)) * 2
             dur = int(rng.integers(1000, 60000))
+            fps = 4
+            n_frames = max(1, dur * fps // 1000)
+            frames = rng.integers(0, 256, size=(n_frames, h, w), dtype=np.uint8)
+            payload = encode_y4m(frames, fps=(fps, 1),
+                                 colorspace="C420jpeg" if i % 2 else "Cmono")
+            mime = "video/x-yuv4mpeg"
         rows.append((i, kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -252,28 +336,41 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
-    """Frame sampling: one row per sampled frame.
-
-    STUB decode — no container demuxer ships here; pyav's
-    ``container.seek`` + frame decode replaces ``_video_frame``.  The
-    fan-out shape (row explosion bounded by duration/every_ms) is the
-    real contract and is tested."""
-
-    def _video_frame(payload: bytes, fi: int) -> bytes:
-        # STUB: deterministic payload slice stands in for a decoded frame
-        start = (fi * 31) % max(len(payload) - 16, 1)
-        return bytes(payload[start : start + 16])
+    """Frame sampling: one row per sampled timestamp, with the REAL
+    decoded luma plane of the frame nearest that timestamp (Y4M; see
+    ``decode_y4m``).  The fan-out is bounded by duration/every_ms from
+    the metadata column — the row-explosion contract holds for dirty
+    payloads too, which yield (ok=false, err) rows of the same shape
+    instead of task retries."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_idx, out_frame = [], [], []
+            out = {k: [] for k in ("media_id", "frame_idx", "t_ms", "frame",
+                                   "width", "height", "ok", "err")}
+
+            def emit(mid, fi, t, frame, w, h, ok, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["t_ms"].append(t)
+                out["frame"].append(frame)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ok"].append(ok)
+                out["err"].append(err)
+
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                n_frames = max(1, int(dur) // every_ms)
-                for fi in range(n_frames):
-                    out_id.append(mid)
-                    out_idx.append(fi)
-                    out_frame.append(_video_frame(payload, fi))
-            yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
+                n_samples = max(1, int(dur) // every_ms)
+                try:
+                    frames, (fn, fd), _cs = decode_y4m(bytes(payload))
+                    h, w = frames.shape[1], frames.shape[2]
+                    for fi in range(n_samples):
+                        t = fi * every_ms
+                        idx = min(frames.shape[0] - 1, t * fn // (1000 * fd))
+                        emit(mid, fi, t, frames[idx].tobytes(), w, h, True, "")
+                except Exception as exc:  # dirty payloads must not kill tasks
+                    for fi in range(n_samples):
+                        emit(mid, fi, fi * every_ms, b"", 0, 0, False, str(exc)[:200])
+            yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "video").select(
         "media_id", "payload", "duration_ms"
