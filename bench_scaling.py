@@ -53,6 +53,38 @@ def ensure_corpus() -> None:
     spark.stop()
 
 
+def _cpu_probe(n_procs: int, seconds: float = 3.0) -> float:
+    """Pure-CPU host-envelope probe: ``n_procs`` busy processes for
+    ``seconds``; returns sustained Mloops/s.  Run BEFORE the JVM starts
+    so the probe sees the same pinned cores the build will get — the
+    per-protocol envelope turns each efficiency number into
+    eff/envelope (how much of the achievable host scaling the engine
+    captured in THAT window), which is robust to the hypervisor's
+    bimodal windows in a way raw efficiency is not."""
+    from multiprocessing import Process, Queue
+
+    def burn(q):
+        import time as _t
+
+        end = _t.time() + seconds
+        c = 0
+        x = 1.0
+        while _t.time() < end:
+            for _ in range(10000):
+                x = x * 1.0000001 + 1e-9
+            c += 10000
+        q.put(c)
+
+    q: "Queue" = Queue()
+    ps = [Process(target=burn, args=(q,)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(total / seconds / 1e6, 1)
+
+
 def child(cpus: int) -> None:
     """One measured run: build the full index + run the query set.
 
@@ -67,6 +99,7 @@ def child(cpus: int) -> None:
     from watertower_spark.operators.index_build import build_index
     from watertower_spark.operators.search import SearchEngine
 
+    probe = _cpu_probe(cpus)
     tmpfs = os.environ.get("WT_SCALE_TMPFS", "0") == "1"
     base = "/dev/shm/wt_scale" if tmpfs else "/tmp"
     extra_conf = {"spark.local.dir": f"{base}/spark_local_{cpus}"} if tmpfs else {}
@@ -138,6 +171,7 @@ def child(cpus: int) -> None:
         "build_docs_per_sec": round(n / build_sec, 1),
         "query_set_sec": round(query_sec, 2),
         "concurrent_qps": round(qps, 2),
+        "cpu_probe_mloops": probe,
         "phases": phases,
     }))
 
@@ -178,10 +212,20 @@ def main() -> None:
     eff = (tput[hi] / tput[lo]) / (hi / lo)
     q_eff = (qbest[lo] / qbest[hi]) / (hi / lo)
     qps_eff = (qps[hi] / qps[lo]) / (hi / lo) if qps[lo] else None
+    # per-protocol host envelope from the probes that ran INSIDE the
+    # same pinned windows as the measured builds
+    probes = {c: max(x.get("cpu_probe_mloops", 0.0) for x in runs[c]) for c in LEVELS}
+    env_eff = (
+        round((probes[hi] / probes[lo]) / (hi / lo), 3)
+        if probes[lo] else None
+    )
+    eff_vs_env = round(eff / env_eff, 3) if env_eff else None
     summary = {
         "docs": best[lo]["docs"],
         "build_docs_per_sec": tput,
         "build_scaling_efficiency": round(eff, 3),
+        "host_envelope_efficiency": env_eff,
+        "build_eff_vs_envelope": eff_vs_env,
         "query_set_sec": qbest,
         "query_scaling_efficiency": round(q_eff, 3),
         "concurrent_qps": qps,
@@ -200,7 +244,13 @@ def main() -> None:
                 + " |\n"
                 for c in LEVELS
             )
-            + f"\nbuild scaling efficiency (throughput ratio / {hi // lo}): **{eff:.3f}**\n"
+            + f"\nbuild scaling efficiency (throughput ratio / {hi // lo}): **{eff:.3f}**"
+            + (
+                f" — host envelope this window {env_eff:.3f} "
+                f"(probes {probes[lo]} → {probes[hi]} Mloop/s) → "
+                f"**eff/envelope {eff_vs_env:.3f}**\n"
+                if env_eff else "\n"
+            )
             + f"query latency-set scaling: **{q_eff:.3f}**; concurrent-qps "
             + f"({qps[lo]} → {qps[hi]}) scaling: **{(qps_eff or 0):.3f}**\n"
         )

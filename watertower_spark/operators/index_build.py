@@ -126,9 +126,13 @@ def assign_doc_ids_with_count(
     spark = docs.sparkSession
     urls = docs.select("url")
     # sample size chosen BEFORE the total is known: 40/range at the
-    # requested range count, floored generously so corpora far larger
-    # than the caller guessed still get usable boundaries
-    k_sample = min(2_000_000, max(40 * num_ranges, 40_960))
+    # requested range count, floored so corpora somewhat larger than
+    # the caller guessed still get usable boundaries.  Keep k modest:
+    # TakeOrdered funnels partitions×k rows through the final merge
+    # task, so an oversized k taxes every build for balance insurance
+    # that only matters when the guess is off by >100× (and even then
+    # only task evenness suffers, never id correctness).
+    k_sample = min(2_000_000, max(40 * num_ranges, 4_096))
     sample_q = urls.orderBy(
         F.xxhash64(F.col("url"), F.lit(seed)).asc(), F.col("url").asc()
     ).limit(k_sample)
