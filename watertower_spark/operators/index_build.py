@@ -547,38 +547,34 @@ def build_index(
             .write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/doc_store")
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for f_ in [pool.submit(w) for w in (w_doc_stats, w_doc_map, w_doc_store)]:
-            f_.result()
-    # avgdl = average analyzed document length — the exact quantity the
-    # BM25 scorer divides by.  One tiny agg over the (now cached) stat
-    # rows; no extra pass over the corpus.  Σwc is kept in the manifest
-    # as a running total so incremental mutations update avgdl from
-    # their own delta instead of re-scanning doc_stats (maintenance).
-    sum_wc = float(doc_stats.agg(F.sum("wc")).collect()[0][0] or 0.0)
-    avgdl = sum_wc / doc_count if doc_count else 0.0
-    # checkpoint: the doc phase is durable — an interrupted postings phase
-    # resumes from here without re-analyzing committed work (resume_build)
-    skeleton = {
-        "format_version": FORMAT_VERSION,
-        "phase": "docs_done",
-        "build_id": build_id,
-        "doc_count": doc_count,
-        "avgdl": avgdl,
-        "sum_wc": sum_wc,
-        "docs_per_shard": docs_per_shard,
-        "n_shards": n_shards,
-        "default_lang": default_lang,
-        "analyzer_lang": analyzer_lang,
-        "bm25": {"k1": BM25_K1, "b": BM25_B},
-        "has_tags": tags is not None,
-        "tables": {},
-        "shards": {},
-    }
-    from watertower_spark.functions import fsio
+    # (the doc-table writers are SUBMITTED below together with wave 2:
+    # wave-2 jobs depend only on the cached segment, which the doc_stats
+    # write materializes — so postings/term_stats/doc_len/metrics launch
+    # the moment doc_stats lands, overlapping the doc_map/doc_store
+    # write TAILS instead of barriering on them.  The docs_done
+    # checkpoint is still written only after ALL THREE doc tables are
+    # durable; a crash in the short window where wave-2 started but the
+    # skeleton isn't on disk degrades resume to a full rebuild, which is
+    # safe.)
+    def make_skeleton(sum_wc: float, avgdl: float) -> dict:
+        return {
+            "format_version": FORMAT_VERSION,
+            "phase": "docs_done",
+            "build_id": build_id,
+            "doc_count": doc_count,
+            "avgdl": avgdl,
+            "sum_wc": sum_wc,
+            "docs_per_shard": docs_per_shard,
+            "n_shards": n_shards,
+            "default_lang": default_lang,
+            "analyzer_lang": analyzer_lang,
+            "bm25": {"k1": BM25_K1, "b": BM25_B},
+            "has_tags": tags is not None,
+            "tables": {},
+            "shards": {},
+        }
 
-    fsio.write_json(f"{index_dir}/_meta/manifest.json", skeleton)
-    mark("doc_tables")
+    from watertower_spark.functions import fsio
 
     # Wave 2: postings (the long pole), tags, plus the term_stats write
     # and the shard-metrics collect — the latter two aggregate NARROW
@@ -656,9 +652,31 @@ def build_index(
                 .collect()[0]
             )
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        for f_ in [pool.submit(w) for w in (w_postings, w_tags, w_term_stats,
-                                            w_doc_len, w_metrics)]:
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        f_stats = pool.submit(w_doc_stats)
+        f_map = pool.submit(w_doc_map)
+        f_store = pool.submit(w_doc_store)
+        # the doc_stats write materializes the segment cache — the
+        # moment it lands, every wave-2 job can run off the cache,
+        # overlapping the doc_map/doc_store write tails
+        f_stats.result()
+        # avgdl = average analyzed document length — the exact quantity
+        # the BM25 scorer divides by.  One tiny agg over the cached stat
+        # rows; no extra pass over the corpus.  Σwc goes into the
+        # manifest as a running total so incremental mutations update
+        # avgdl from their own delta (maintenance) without a re-scan.
+        sum_wc = float(doc_stats.agg(F.sum("wc")).collect()[0][0] or 0.0)
+        avgdl = sum_wc / doc_count if doc_count else 0.0
+        skeleton = make_skeleton(sum_wc, avgdl)
+        wave2 = [pool.submit(w) for w in (w_postings, w_tags, w_term_stats,
+                                          w_doc_len, w_metrics)]
+        f_map.result()
+        f_store.result()
+        # checkpoint: ALL doc tables durable — an interrupted postings
+        # phase resumes from here without re-analyzing committed work
+        fsio.write_json(f"{index_dir}/_meta/manifest.json", skeleton)
+        mark("doc_tables")
+        for f_ in wave2:
             f_.result()
     mark("postings_tags")
 
