@@ -108,6 +108,11 @@ def child(cpus: int) -> None:
     # tiny tasks grab every slot, the rest queue), so qps would never
     # scale with cores no matter how parallel the engine is.
     extra_conf["spark.scheduler.mode"] = "FAIR"
+    if os.environ.get("WT_JVM_OPTS"):  # A/B hook for JVM sizing experiments
+        extra_conf["spark.driver.extraJavaOptions"] = os.environ["WT_JVM_OPTS"]
+    if os.environ.get("WT_ARROW_BATCH"):  # A/B hook: Arrow batch rows
+        extra_conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = \
+            os.environ["WT_ARROW_BATCH"]
     spark = get_spark(cpus=cpus, shuffle_partitions=2 * cpus,
                       app_name=f"wt-scale-{cpus}", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")

@@ -394,3 +394,131 @@ def test_shard_metrics_externalize_at_scale(spark, tmp_index_root, monkeypatch):
     assert spark.read.parquet(new_path).count() >= 1
     assert m2["shard_totals"]["n_postings"] < m["shard_totals"]["n_postings"]
     assert not os.path.exists(f"{idx}/shard_metrics")  # old version GC'd
+
+
+def test_mutation_lock_single_writer(spark, base_index):
+    """Round-3 verdict #5: mutations are single-writer per index.  A held
+    lease makes a second mutation fail cleanly (IndexLockedError) instead
+    of silently corrupting the first one's staging snapshots; the lease
+    is released after success and is re-entrant for upsert's internal
+    append of fresh urls."""
+    from watertower_spark.functions import fsio
+    from watertower_spark.operators.maintenance import IndexLockedError
+
+    idx, rows = base_index
+    lock = f"{idx}/_meta/_mutation_lock"
+    assert fsio.create_exclusive(lock, "pid=other-writer")
+    assert not fsio.create_exclusive(lock, "pid=me")  # exclusive-create
+
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    with pytest.raises(IndexLockedError):
+        append_documents(spark, idx, docs2, tags2)
+    with pytest.raises(IndexLockedError):
+        remove_documents(
+            spark, idx,
+            spark.createDataFrame([(rows[0]["url"],)], "url string"),
+        )
+    # the failed attempts must not have stolen/removed the foreign lease
+    assert os.path.exists(lock)
+
+    fsio.delete_file(lock)
+    # re-entrant path: upsert of all-fresh urls calls append internally
+    # under the same lease
+    m = upsert_documents(spark, idx, docs2, tags2)
+    assert m["doc_count"] == 7
+    assert not os.path.exists(lock)  # released after success
+
+
+def test_degraded_index_flags_at_load(spark, base_index):
+    """Round-3 verdict #4 / ADVICE: a shard with postings but no doc_len
+    (interrupted wave-2 write) must surface DRIVER-side at engine
+    construction — the executor-kernel warning lands in a Python
+    worker's stderr nobody reads while BM25 silently mis-scores."""
+    import warnings as _w
+
+    idx, _rows = base_index
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # healthy index must NOT warn
+        eng = SearchEngine(spark, idx)
+    assert eng.degraded_shards == []
+
+    shutil.rmtree(f"{idx}/doc_len/shard=0")
+    with pytest.warns(UserWarning, match="DEGRADED"):
+        eng2 = SearchEngine(spark, idx)
+    assert eng2.degraded_shards == [0]
+
+
+def test_term_stats_bucketed_delta_touches_only_changed_buckets(
+    spark, base_index, monkeypatch
+):
+    """Round-3 verdict #3: term_stats is bucket-partitioned by
+    pmod(xxhash64(term), TS_BUCKETS); a mutation must read and rewrite
+    ONLY buckets containing changed terms (path-scope pinned via
+    inputFiles), leaving every other bucket's files byte-identical —
+    at a 10^9-term vocabulary the whole-table rewrite was the one
+    remaining O(vocab) job per mutation."""
+    import glob
+    import hashlib
+
+    import watertower_spark.operators.maintenance as mt
+    from watertower_spark.operators.index_build import table_path
+
+    idx, rows = base_index
+    ts_dir = table_path(idx, load_manifest(idx), "term_stats")
+
+    def snap():
+        out = {}
+        for d in glob.glob(f"{ts_dir}/tb=*"):
+            h = hashlib.sha256()
+            for p in sorted(glob.glob(f"{d}/*.parquet")):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            out[int(d.rsplit("=", 1)[1])] = h.hexdigest()
+        return out
+
+    before = snap()
+    assert len(before) > 1  # the vocabulary spreads over multiple buckets
+
+    seen = []
+    real = mt._read_ts_buckets
+
+    def spy(spark_, ts_dir_, buckets):
+        df = real(spark_, ts_dir_, buckets)
+        if df is not None:
+            allowed = tuple(f"{ts_dir_}/tb={int(b)}" for b in buckets)
+            for f in df.inputFiles():
+                local = "/" + f.split("://", 1)[-1].lstrip("/")
+                assert local.startswith(allowed), (buckets, f)
+        seen.append(sorted(int(b) for b in buckets))
+        return df
+
+    monkeypatch.setattr(mt, "_read_ts_buckets", spy)
+
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    append_documents(spark, idx, docs2, tags2)
+    assert seen, "the stats delta must go through the bucket-scoped reader"
+    touched = set().union(*map(set, seen))
+    after = snap()
+    untouched = set(before) - touched
+    assert untouched, "a small append must leave some buckets untouched"
+    for b in untouched:
+        assert after[b] == before[b], f"bucket {b} rewritten without changes"
+    # and the bucket-merged result still equals a full recompute
+    assert _ts_published(spark, idx) == _ts_recomputed(spark, idx)
+
+
+def test_overwrite_mode_restored_after_mutation(spark, base_index):
+    """ADVICE r3: mutation paths flip partitionOverwriteMode=dynamic on
+    the shared session; they must restore the caller's value instead of
+    silently changing later user writes' overwrite semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    idx, rows = base_index
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    append_documents(spark, idx, docs2, tags2)
+    assert spark.conf.get(key).lower() == "static"
+    remove_documents(
+        spark, idx, spark.createDataFrame([(rows[0]["url"],)], "url string")
+    )
+    assert spark.conf.get(key).lower() == "static"
+    spark.conf.unset(key)

@@ -311,3 +311,12 @@ def test_ivf_knn_recall(spark):
     # probing fewer lists scans fewer candidates than the full table
     probes = similarity.ivf_knn(assigned, centers, base.tolist(), k=5, n_probe=2)
     assert probes.count() == 5
+
+
+def test_auto_n_probe_tracks_cardinality():
+    from watertower_spark.operators.similarity import auto_n_probe
+
+    assert auto_n_probe(500, 8) == 6      # the sf0.01 gate corpus
+    assert auto_n_probe(5000, 8) == 3     # sf0.1: floor of 3 probes
+    assert auto_n_probe(10 ** 9, 64) == 3  # web scale: tiny probe fraction
+    assert auto_n_probe(100, 8) == 8      # degenerate: probe everything

@@ -99,6 +99,19 @@ def delete_dir(path: str) -> None:
         fs.delete(jpath, True)
 
 
+def delete_file(path: str) -> None:
+    """Delete a single file, ignore-missing."""
+    if not _is_remote(path):
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return
+    _, fs, jpath = _hadoop(path)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
 def exists(path: str) -> bool:
     if not _is_remote(path):
         return os.path.exists(path)
@@ -131,6 +144,63 @@ def list_shard_dirs(table_dir: str) -> list:
             ):
                 out.append(int(name.split("=")[1]))
     return out
+
+
+def list_partition_values(table_dir: str, key: str) -> list:
+    """Partition values whose ``key=V`` directory holds data files
+    (generalizes list_shard_dirs to any partition column, e.g. the
+    term_stats ``tb`` buckets)."""
+    out = []
+    prefix = f"{key}="
+    if not _is_remote(table_dir):
+        if not os.path.isdir(table_dir):
+            return out
+        for d in os.listdir(table_dir):
+            full = os.path.join(table_dir, d)
+            if d.startswith(prefix) and os.path.isdir(full) and any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                out.append(int(d.split("=")[1]))
+        return out
+    _, fs, jpath = _hadoop(table_dir)
+    if not fs.exists(jpath):
+        return out
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            if any(
+                f.getPath().getName().endswith(".parquet")
+                for f in fs.listStatus(status.getPath())
+            ):
+                out.append(int(name.split("=")[1]))
+    return out
+
+
+def create_exclusive(path: str, content: str) -> bool:
+    """Atomically create ``path`` with ``content``; False if it already
+    exists.  Local paths use O_CREAT|O_EXCL; scheme'd paths use Hadoop
+    ``create(overwrite=False)`` (atomic on HDFS; on S3 the create is
+    check-then-write, which is best-effort — acceptable for an advisory
+    mutation lease, see maintenance module docstring)."""
+    if not _is_remote(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(content)
+        return True
+    jvm, fs, jpath = _hadoop(path)
+    try:
+        stream = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    return True
 
 
 def read_json(path: str) -> dict:

@@ -37,6 +37,8 @@ def export_index(index_dir: str, out_path: str) -> str:
                 dirs[:] = []
                 continue
             for fn in sorted(files):
+                if fn == "_mutation_lock":  # never export a (stale) lease
+                    continue
                 p = os.path.join(root, fn)
                 z.write(p, os.path.relpath(p, index_dir))
     return out_path

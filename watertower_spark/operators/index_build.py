@@ -53,7 +53,17 @@ _DIAG_AVGDL = 256.0
 
 # bump when the on-disk posting layout changes (readers reject stale
 # indexes instead of failing obscurely mid-kernel)
-FORMAT_VERSION = 5
+# v6: term_stats is partitioned by tb = pmod(xxhash64(term), TS_BUCKETS)
+#     so mutations rewrite only buckets containing changed terms
+#     (round-3 verdict #3: the whole-vocabulary rewrite per mutation is
+#     a heavyweight job at a 10^9-term web vocabulary)
+FORMAT_VERSION = 6
+
+# term_stats bucket count.  Sized so one bucket of a 10^9-term
+# vocabulary (~1M terms, tens of MB) is one comfortable task; a
+# one-shard mutation touches only the buckets its changed terms hash
+# into, leaving the other buckets' files byte-identical.
+TS_BUCKETS = 64
 
 POSTING_SCHEMA = (
     "term string, shard int, df int, cf long, max_tf int, "
@@ -626,7 +636,9 @@ def build_index(
     def w_term_stats():
         # global term statistics: the query engine resolves df/idf and
         # candidate shards from this table (memoized driver-side)
-        # instead of re-aggregating per query.
+        # instead of re-aggregating per query.  Bucketed by term hash so
+        # mutations rewrite only touched buckets (maintenance); the
+        # repartition keeps it to one file per bucket dir.
         (
             postings.groupBy("term")
             .agg(
@@ -634,7 +646,10 @@ def build_index(
                 F.sum("cf").alias("cf"),
                 F.sort_array(F.collect_set("shard")).alias("shards"),
             )
-            .write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(TS_BUCKETS)).cast("int"))
+            .repartition(TS_BUCKETS, "tb")
+            .write.mode("overwrite").partitionBy("tb")
+            .parquet(f"{index_dir}/term_stats")
         )
 
     def w_doc_len():

@@ -23,11 +23,26 @@ weight is increasing in tf and decreasing in dl, so the bound stays
 sound no matter how appends/removals drift avgdl.  (The pack-time
 block_max_w column is diagnostic only; an earlier design pruned on it,
 which is unsound when avgdl rises.)
+
+CONCURRENCY: mutations are SINGLE-WRITER per index.  Each mutation
+takes an advisory lease (``_meta/_mutation_lock``, created exclusively;
+re-entrant within one process so upsert may call append) and suffixes
+its staging dirs with the mutation build_id — a second concurrent
+mutation fails fast with ``IndexLockedError`` instead of silently
+corrupting the first one's snapshots.  The lease is atomic on POSIX
+and HDFS; on S3-like stores exclusive-create is best-effort, so a
+scheduler-level single-writer guarantee is still recommended there.
+Readers (SearchEngine) never take the lease — they resolve versioned
+table pointers from the manifest they loaded, which stays readable
+throughout any mutation.
 """
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -41,6 +56,64 @@ from .index_build import (
     assign_doc_ids,
     load_manifest,
 )
+
+
+class IndexLockedError(RuntimeError):
+    """Another mutation holds this index's mutation lease."""
+
+
+_HELD_LEASES: set = set()  # index dirs leased by THIS process (re-entrancy)
+
+
+@contextlib.contextmanager
+def _mutation_lock(index_dir: str):
+    """Advisory single-writer lease for one mutation (see module
+    docstring).  Re-entrant within the process: upsert_documents calls
+    append_documents for its fresh-url tail under the same lease."""
+    from watertower_spark.functions import fsio
+
+    if index_dir in _HELD_LEASES:
+        yield
+        return
+    lock = f"{index_dir}/_meta/_mutation_lock"
+    if not fsio.create_exclusive(lock, f"pid={os.getpid()}"):
+        raise IndexLockedError(
+            f"index at {index_dir} is being mutated by another writer "
+            f"(lease file {lock} exists); mutations are single-writer — "
+            f"retry after it finishes, or remove a stale lease left by a "
+            f"crashed mutation"
+        )
+    _HELD_LEASES.add(index_dir)
+    try:
+        yield
+    finally:
+        _HELD_LEASES.discard(index_dir)
+        fsio.delete_file(lock)
+
+
+def _restores_overwrite_mode(fn):
+    """Mutation paths flip spark.sql.sources.partitionOverwriteMode to
+    'dynamic' mid-flight; restore the session's previous value on exit
+    so the setting doesn't leak into subsequent user writes (ADVICE r3).
+    Wrapped functions must take the SparkSession as their first arg."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        key = "spark.sql.sources.partitionOverwriteMode"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            if prev is None:
+                with contextlib.suppress(Exception):
+                    spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return wrapper
 
 
 def _pack_doc_len_kernel(dps: int):
@@ -156,10 +229,16 @@ def _build_shard_tables(spark, docs_w: DataFrame, tags: DataFrame | None,
     return doc_stats, terms.unpersist
 
 
+@_restores_overwrite_mode
 def append_documents(spark: SparkSession, index_dir: str,
                      new_docs: DataFrame, new_tags: DataFrame | None = None) -> dict:
     """Incrementally add documents.  New ids start at the next shard
     boundary so existing shard files are never touched."""
+    with _mutation_lock(index_dir):
+        return _append_documents(spark, index_dir, new_docs, new_tags)
+
+
+def _append_documents(spark, index_dir, new_docs, new_tags=None):
     from .index_build import table_path
 
     m = load_manifest(index_dir)
@@ -213,9 +292,15 @@ def append_documents(spark: SparkSession, index_dir: str,
     return m
 
 
+@_restores_overwrite_mode
 def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
     """Remove documents by url: rewrite doc_map/doc_stats/doc_store minus
     the victims, rebuild ONLY the affected shard partitions (I10)."""
+    with _mutation_lock(index_dir):
+        return _remove_documents(spark, index_dir, urls)
+
+
+def _remove_documents(spark, index_dir, urls):
     from watertower_spark.functions import fsio
 
     from .index_build import table_path
@@ -224,8 +309,10 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     dps = m["docs_per_shard"]
     doc_map = spark.read.parquet(table_path(index_dir, m, "doc_map"))
     # materialize the victim set to break lineage: later rewrites replace
-    # the very files doc_map reads from (lazy plans must not re-scan them)
-    tmp_victims = f"{index_dir}/_tmp_victims"
+    # the very files doc_map reads from (lazy plans must not re-scan them).
+    # Staging dirs are suffixed per-mutation (plus the advisory lease) so
+    # a concurrent writer can never clobber this snapshot.
+    tmp_victims = f"{index_dir}/_tmp_victims_{_staging_suffix()}"
     doc_map.join(urls.select("url"), "url").write.mode("overwrite").parquet(tmp_victims)
     victims = spark.read.parquet(tmp_victims)
     shards = [r["shard"] for r in victims.select(_shard_col(dps)).distinct().collect()]
@@ -300,10 +387,16 @@ def remove_documents(spark: SparkSession, index_dir: str, urls: DataFrame) -> di
     return m
 
 
+@_restores_overwrite_mode
 def upsert_documents(spark: SparkSession, index_dir: str,
                      docs: DataFrame, tags: DataFrame | None = None) -> dict:
     """PostDocument semantics (I1): existing urls keep their doc_id and get
     re-analyzed in place (affected shards rebuilt); new urls append."""
+    with _mutation_lock(index_dir):
+        return _upsert_documents(spark, index_dir, docs, tags)
+
+
+def _upsert_documents(spark, index_dir, docs, tags=None):
     from .index_build import table_path
 
     m = load_manifest(index_dir)
@@ -463,6 +556,15 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
         return build_index(docs, tags, index_dir, **build_kwargs)
     if m.get("phase") == "committed":
         return m
+    with _mutation_lock(index_dir):
+        return _resume_build(spark, docs, tags, index_dir, m)
+
+
+@_restores_overwrite_mode
+def _resume_build(spark, docs, tags, index_dir, m):
+    from watertower_spark.functions import fsio
+
+    from .index_build import table_path
 
     present = set(fsio.list_shard_dirs(f"{index_dir}/postings"))
     missing = sorted(set(range(m["n_shards"])) - present)
@@ -497,6 +599,16 @@ def resume_build(spark: SparkSession, docs: DataFrame, tags: DataFrame | None,
     _save_manifest(index_dir, m, "resume")
     _gc_dirs(gc)
     return m
+
+
+def _staging_suffix() -> str:
+    """Unique per-mutation staging-dir suffix: the advisory lease already
+    excludes concurrent writers; the suffix makes clobbering structurally
+    impossible (and leftover dirs attributable) even if a lease is
+    force-removed."""
+    import uuid
+
+    return f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
 
 def _gc_dirs(paths: list) -> None:
@@ -560,7 +672,7 @@ def _snapshot_old_contrib(spark, index_dir: str, shards):
     ``(df_or_None, tmp_dir)``; the caller GCs the dir after the
     manifest commit."""
     old_postings = _read_shard_table(spark, index_dir, "postings", shards)
-    tmp = f"{index_dir}/_tmp_old_contrib"
+    tmp = f"{index_dir}/_tmp_old_contrib_{_staging_suffix()}"
     if old_postings is None:
         return None, tmp
     _term_contrib(old_postings).write.mode("overwrite").parquet(tmp)
@@ -575,14 +687,36 @@ def _wc_sum(spark, index_dir: str, shards) -> float:
     return float(ds.agg(F.sum("wc")).collect()[0][0] or 0.0)
 
 
+def _tb_col():
+    from .index_build import TS_BUCKETS
+
+    return F.pmod(F.xxhash64("term"), F.lit(TS_BUCKETS)).cast("int").alias("tb")
+
+
+def _read_ts_buckets(spark, ts_dir: str, buckets) -> "DataFrame | None":
+    """Read ONLY the given tb buckets of the bucketed term_stats table,
+    path-scoped (same structural guarantee as _read_shard_table: no
+    other bucket's files can be listed or opened)."""
+    from watertower_spark.functions import fsio
+
+    paths = [f"{ts_dir}/tb={int(b)}" for b in buckets]
+    existing = [p for p in paths if fsio.exists(p)]
+    if not existing:
+        return None
+    return spark.read.option("basePath", ts_dir).parquet(*existing)
+
+
 def _apply_stats_delta(spark, index_dir: str, manifest: dict,
                        affected_shards: list,
                        old_term_contrib=None) -> list:
     """Incrementally fold the affected shards' statistics into
     term_stats + shard metrics — reading ONLY those shards' postings
-    partitions, never the full table (round-2 verdict: the per-mutation
-    full-metadata re-scan was the remaining scale-killer at 10^5+
-    shards; a one-shard append must not touch the other 10^5 shards).
+    partitions, never the full postings table (round-2 verdict), and
+    since r4 rewriting ONLY the term_stats buckets containing changed
+    terms (round-3 verdict #3: the whole-vocabulary read+write per
+    mutation is a heavyweight job at a 10^9-term web vocabulary; now a
+    one-shard append touches at most |changed terms| of the TS_BUCKETS
+    hash buckets and leaves every other bucket's files byte-identical).
 
     ``old_term_contrib`` is the affected shards' per-term contribution
     MATERIALIZED BEFORE the rewrite (None for pure appends, whose
@@ -591,12 +725,12 @@ def _apply_stats_delta(spark, index_dir: str, manifest: dict,
         df' = df  - df_old + df_new     (term dropped when df' <= 0)
         shards' = (shards \\ affected) ∪ shards_new
 
-    Returns superseded table dirs for the caller to GC after the
+    Returns superseded/staging dirs for the caller to GC after the
     manifest commit."""
     from .index_build import SHARD_METRICS_INLINE_MAX, table_path
 
     new_postings = _read_shard_table(spark, index_dir, "postings", affected_shards)
-    ts = spark.read.parquet(table_path(index_dir, manifest, "term_stats"))
+    ts_dir = table_path(index_dir, manifest, "term_stats")
 
     empty_i = F.array().cast("array<int>")
     affected_arr = (
@@ -618,44 +752,78 @@ def _apply_stats_delta(spark, index_dir: str, manifest: dict,
         if new_postings is not None
         else None
     )
-    merged = ts
-    if old_c is not None:
-        merged = merged.join(old_c, "term", "full_outer")
-    else:
-        merged = merged.withColumn("df_old", F.lit(None).cast("long")) \
-                       .withColumn("cf_old", F.lit(None).cast("long"))
-    if new_c is not None:
-        merged = merged.join(new_c, "term", "full_outer")
-    else:
-        merged = merged.withColumn("df_new", F.lit(None).cast("long")) \
-                       .withColumn("cf_new", F.lit(None).cast("long")) \
-                       .withColumn("shards_new", F.lit(None).cast("array<int>"))
-    z = lambda c: F.coalesce(F.col(c).cast("long"), F.lit(0))
-    merged = (
-        merged.select(
-            "term",
-            (z("df") - z("df_old") + z("df_new")).alias("df"),
-            (z("cf") - z("cf_old") + z("cf_new")).alias("cf"),
-            F.sort_array(
-                F.array_distinct(
-                    F.concat(
-                        F.array_except(
-                            F.coalesce(F.col("shards"), empty_i), affected_arr
-                        ),
-                        F.coalesce(F.col("shards_new"), empty_i),
-                    )
-                )
-            ).alias("shards"),
+    gc: list = []
+    if old_c is not None or new_c is not None:
+        # buckets containing ANY changed term — a tiny collect (≤ TS_BUCKETS
+        # distinct values); only these buckets are read or written below
+        delta_terms = None
+        for c in (old_c, new_c):
+            if c is not None:
+                t = c.select("term")
+                delta_terms = t if delta_terms is None else delta_terms.union(t)
+        buckets = sorted(
+            r["tb"] for r in delta_terms.select(_tb_col()).distinct().collect()
         )
-        .where(F.col("df") > 0)
-        # the merge plan reads the very term_stats files the publish
-        # below supersedes — but into a NEW versioned dir, so no
-        # overlap; still persist nothing, it is a straight write
-    )
-    gc = [_publish_table(
-        index_dir, manifest, "term_stats",
-        lambda path: merged.write.mode("overwrite").parquet(path),
-    )]
+        ts = _read_ts_buckets(spark, ts_dir, buckets)
+        if ts is None:
+            ts = spark.createDataFrame(
+                [], "term string, df long, cf long, shards array<int>"
+            )
+        else:
+            ts = ts.drop("tb")
+        merged = ts
+        if old_c is not None:
+            merged = merged.join(old_c, "term", "full_outer")
+        else:
+            merged = merged.withColumn("df_old", F.lit(None).cast("long")) \
+                           .withColumn("cf_old", F.lit(None).cast("long"))
+        if new_c is not None:
+            merged = merged.join(new_c, "term", "full_outer")
+        else:
+            merged = merged.withColumn("df_new", F.lit(None).cast("long")) \
+                           .withColumn("cf_new", F.lit(None).cast("long")) \
+                           .withColumn("shards_new", F.lit(None).cast("array<int>"))
+        z = lambda c: F.coalesce(F.col(c).cast("long"), F.lit(0))
+        merged = (
+            merged.select(
+                "term",
+                (z("df") - z("df_old") + z("df_new")).alias("df"),
+                (z("cf") - z("cf_old") + z("cf_new")).alias("cf"),
+                F.sort_array(
+                    F.array_distinct(
+                        F.concat(
+                            F.array_except(
+                                F.coalesce(F.col("shards"), empty_i), affected_arr
+                            ),
+                            F.coalesce(F.col("shards_new"), empty_i),
+                        )
+                    )
+                ).alias("shards"),
+            )
+            .where(F.col("df") > 0)
+            .select("term", "df", "cf", "shards", _tb_col())
+        )
+        # the merge plan reads the very bucket files the dynamic
+        # overwrite replaces — stage the result first (persist() does
+        # not survive the overwrite's cache invalidation; same lineage
+        # break _snapshot_old_contrib documents)
+        stage = f"{index_dir}/_tmp_ts_delta_{_staging_suffix()}"
+        merged.repartition(max(1, len(buckets)), "tb") \
+            .write.mode("overwrite").parquet(stage)
+        gc.append(stage)
+        staged = spark.read.parquet(stage)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged.write.mode("overwrite").partitionBy("tb").parquet(ts_dir)
+        # a touched bucket whose every term was dropped produces zero
+        # rows — dynamic overwrite leaves its old files alive; delete
+        # those bucket dirs explicitly (same pattern as fully-removed
+        # shards in remove_documents)
+        still = {r["tb"] for r in staged.select("tb").distinct().collect()}
+        from watertower_spark.functions import fsio
+
+        for b in buckets:
+            if b not in still:
+                fsio.delete_dir(f"{ts_dir}/tb={int(b)}")
 
     # ---- shard metrics: patch ONLY affected entries ----
     new_rows = _shard_contrib_rows(new_postings) if new_postings is not None else []
@@ -719,6 +887,8 @@ def _refresh_shard_metrics(spark, index_dir, manifest) -> list:
     # — parquet column pruning means the posting blobs are never read.
     # Returns superseded table dirs for the caller to delete AFTER the
     # manifest commit.
+    from .index_build import TS_BUCKETS
+
     postings = spark.read.parquet(f"{index_dir}/postings")
     old = _publish_table(
         index_dir, manifest, "term_stats",
@@ -729,7 +899,9 @@ def _refresh_shard_metrics(spark, index_dir, manifest) -> list:
                 F.sum("cf").alias("cf"),
                 F.sort_array(F.collect_set("shard")).alias("shards"),
             )
-            .write.mode("overwrite").parquet(path)
+            .select("term", "df", "cf", "shards", _tb_col())
+            .repartition(TS_BUCKETS, "tb")
+            .write.mode("overwrite").partitionBy("tb").parquet(path)
         ),
     )
     from .index_build import SHARD_METRICS_INLINE_MAX

@@ -129,7 +129,14 @@ def encode_y4m(y_frames: np.ndarray, fps: tuple = (25, 1),
     """uint8 (n, h, w) luma frames → YUV4MPEG2 bytes.
 
     ``Cmono`` writes luma only; ``C420jpeg`` adds neutral (128) chroma
-    planes — both are valid Y4M streams any y4m-aware tool accepts."""
+    planes — both are valid Y4M streams any y4m-aware tool accepts.
+    Only colorspaces the encoder actually emits are accepted: passing
+    e.g. C422 would write a header/payload-inconsistent stream that
+    decoders misparse as truncated frames."""
+    if colorspace != "Cmono" and not colorspace.startswith("C420"):
+        raise ValueError(
+            f"encode_y4m emits only Cmono/C420* streams, not {colorspace!r}"
+        )
     n, h, w = y_frames.shape
     assert y_frames.dtype == np.uint8
     parts = [
@@ -365,7 +372,9 @@ def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
                     h, w = frames.shape[1], frames.shape[2]
                     for fi in range(n_samples):
                         t = fi * every_ms
-                        idx = min(frames.shape[0] - 1, t * fn // (1000 * fd))
+                        # nearest frame (round, not floor) per the contract
+                        idx = min(frames.shape[0] - 1,
+                                  (t * fn + 500 * fd) // (1000 * fd))
                         emit(mid, fi, t, frames[idx].tobytes(), w, h, True, "")
                 except Exception as exc:  # dirty payloads must not kill tasks
                     for fi in range(n_samples):

@@ -166,6 +166,166 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 "score": top_sc,
             })
 
+        # Multi-term conjunctive block-max top-k (round-3 verdict #7):
+        # BM25 AND with no tag filter.  Classic block-max WAND driven by
+        # the SMALLEST list: its blocks are visited in descending
+        # optimistic-bound order (own block ub + Σ other terms' global
+        # max ub), each refined against the other terms' overlapping
+        # blocks' (block_max_tf, block_min_dl) bounds, and skipped with
+        # NO doc/tf/position decode once no remaining block can beat
+        # the kth score.  The phrase filter only removes candidates, so
+        # pruning by score upper bound before it is sound for top-k;
+        # bounds derive from the same sidecars as the single-term path
+        # and stay sound under avgdl drift.
+        if (
+            mode == "bm25" and k is not None and not tag_blobs
+            and len(query_tokens) >= 2
+        ):
+            terms_by_df = sorted(term_rows, key=lambda t: int(term_rows[t].df))
+            drv, others = terms_by_df[0], terms_by_df[1:]
+            meta: dict = {}
+            for t in terms_by_df:
+                r = term_rows[t]
+                dfg = df_global[t]
+                idf = math.log(1.0 + (doc_count - dfg + 0.5) / (dfg + 0.5))
+                bmt = np.frombuffer(r.block_max_tf, dtype=np.int32).astype("float64")
+                bmd = np.frombuffer(r.block_min_dl, dtype=np.int32).astype("float64")
+                ub = idf * (BM25_K1 + 1.0) * bmt / (
+                    bmt + BM25_K1 * (1.0 - BM25_B + BM25_B * bmd / max(avgdl, 1e-9))
+                )
+                poff = np.frombuffer(r.block_pos_off, dtype=np.int64)
+                meta[t] = dict(
+                    row=r, idf=idf, ub=ub, df=int(r.df),
+                    bl=np.frombuffer(r.block_last, dtype=np.int64),
+                    boff=np.frombuffer(r.block_off, dtype=np.int64),
+                    toff=np.frombuffer(r.block_tf_off, dtype=np.int64),
+                    poff=poff,
+                    pend=np.concatenate((poff[1:], [len(r.pos_blob)])).astype(np.int64),
+                    ids={}, tfs={}, pos={},
+                )
+
+            def _ids(t, b):
+                m = meta[t]
+                got = m["ids"].get(b)
+                if got is None:
+                    got, _ = codec.decode_doc_blocks(
+                        m["row"].doc_blob, m["boff"], m["df"], np.array([b]), BS
+                    )
+                    m["ids"][b] = got
+                return got
+
+            def _tf(t, b):
+                m = meta[t]
+                got = m["tfs"].get(b)
+                if got is None:
+                    got = codec.decode_tf_blocks(
+                        m["row"].tf_blob, m["toff"], np.array([b])
+                    )[b]
+                    m["tfs"][b] = got
+                return got
+
+            def _pos(t, b):
+                m = meta[t]
+                got = m["pos"].get(b)
+                if got is None:
+                    got = codec.decode_position_block(
+                        m["row"].pos_blob, int(m["poff"][b]), int(m["pend"][b]),
+                        min(BS, m["df"] - b * BS),
+                    )
+                    m["pos"][b] = got
+                return got
+
+            dm = meta[drv]
+            loose = dm["ub"] + sum(float(meta[t]["ub"].max()) for t in others)
+            order_b = np.argsort(-loose, kind="stable")
+            top_ids = np.empty(0, dtype=np.int64)
+            top_sc = np.empty(0, dtype="float64")
+            kth = -np.inf
+            for b in order_b:
+                b = int(b)
+                # strict <: a tying block can hold a smaller-doc_id tie
+                # the deterministic tie-break contract must surface
+                if top_ids.size >= k and loose[b] < kth:
+                    break
+                lo_id = int(dm["bl"][b - 1]) + 1 if b else 0
+                hi_id = int(dm["bl"][b])
+                bound = float(dm["ub"][b])
+                feasible = True
+                spans = []
+                for t in others:
+                    blt = meta[t]["bl"]
+                    j0 = int(np.searchsorted(blt, lo_id))
+                    if j0 >= blt.size:
+                        feasible = False  # no overlap ⇒ empty intersection
+                        break
+                    j1 = min(int(np.searchsorted(blt, hi_id)), blt.size - 1)
+                    spans.append((t, j0, j1))
+                    bound += float(meta[t]["ub"][j0:j1 + 1].max())
+                if not feasible:
+                    continue
+                if top_ids.size >= k and bound < kth:
+                    continue  # refined bound prunes; looser blocks may follow
+                cand = _ids(drv, b)
+                for t, _j0, _j1 in spans:
+                    if cand.size == 0:
+                        break
+                    blt = meta[t]["bl"]
+                    needed = np.unique(np.searchsorted(blt, cand))
+                    needed = needed[needed < blt.size]
+                    ids_t = (
+                        np.concatenate([_ids(t, int(j)) for j in needed])
+                        if needed.size else np.empty(0, dtype=np.int64)
+                    )
+                    cand = cand[np.isin(cand, ids_t, assume_unique=True)]
+                if cand.size == 0:
+                    continue
+                # phrase filter on the survivors (search.go:97-99 applies
+                # whenever the query has tokens)
+                rel = None
+                for t in terms_by_df:
+                    qp = query_tokens[t]
+                    m = meta[t]
+                    blocks_t = np.searchsorted(m["bl"], cand)
+                    per_doc = []
+                    for d_, bt in zip(cand, blocks_t):
+                        bt = int(bt)
+                        o = int(np.searchsorted(_ids(t, bt), d_))
+                        per_doc.append(
+                            _phrase_relative_positions(_pos(t, bt)[o], qp)
+                        )
+                    rel = per_doc if rel is None else [
+                        r1[np.isin(r1, r2)] for r1, r2 in zip(rel, per_doc)
+                    ]
+                keep = np.fromiter(
+                    (r.size > 0 for r in rel), dtype=bool, count=cand.size
+                )
+                cand = cand[keep]
+                if cand.size == 0:
+                    continue
+                dl = dl_of(cand)
+                sc = np.zeros(cand.size, dtype="float64")
+                for t in terms_by_df:
+                    m = meta[t]
+                    blocks_t = np.searchsorted(m["bl"], cand)
+                    tf = np.empty(cand.size, dtype="float64")
+                    for i_, (d_, bt) in enumerate(zip(cand, blocks_t)):
+                        bt = int(bt)
+                        tf[i_] = _tf(t, bt)[int(np.searchsorted(_ids(t, bt), d_))]
+                    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+                    sc += m["idf"] * (BM25_K1 + 1.0) * tf / denom
+                top_ids = np.concatenate((top_ids, cand))
+                top_sc = np.concatenate((top_sc, sc))
+                if top_ids.size > k:
+                    sel = np.lexsort((top_ids, -top_sc))[:k]
+                    top_ids, top_sc = top_ids[sel], top_sc[sel]
+                if top_ids.size >= k:
+                    kth = top_sc.min()
+            return pd.DataFrame({
+                "doc_id": top_ids,
+                "shard": np.full(top_ids.size, shard, dtype="int32"),
+                "score": top_sc,
+            })
+
         # Seed candidates from the smallest AND-group (int.go:8-10's
         # smallest-first strategy), then block-skip through the others:
         # only blocks whose [first, block_last] range can contain a
@@ -328,6 +488,26 @@ class SearchEngine:
         )
         self._doc_map_path = table_path(index_dir, self.manifest, "doc_map")
         self._stats_cache: dict = {}
+        # LOUD integrity check at load, DRIVER-side (round-3 verdict #4 /
+        # ADVICE: the executor-kernel warning lands in Python-worker
+        # stderr a user never reads while results silently mis-score).
+        # A shard with postings but no doc_len row means an interrupted
+        # wave-2 write: BM25 would fall back to dl=avgdl there.  Expose
+        # the shard list; raising is left to the caller so a service can
+        # choose to serve degraded while resume_build repairs.
+        have_p = set(fsio.list_shard_dirs(f"{index_dir}/postings"))
+        have_l = set(fsio.list_shard_dirs(f"{index_dir}/doc_len"))
+        self.degraded_shards = sorted(have_p - have_l)
+        if self.degraded_shards:
+            import warnings
+
+            warnings.warn(
+                f"index at {index_dir} is DEGRADED: shards "
+                f"{self.degraded_shards} have postings but no doc_len — "
+                f"BM25 scores there fall back to dl=avgdl; run "
+                f"resume_build to repair",
+                stacklevel=2,
+            )
 
     def _resolve_terms(self, terms: list) -> dict:
         """term → (df, shard list) from the global term_stats table,

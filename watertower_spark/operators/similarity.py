@@ -170,6 +170,21 @@ def ivf_knn(assigned: DataFrame, centers: np.ndarray, query_vec: list,
     return cosine_topk_arrow(cand.select("vec_id", "embedding"), q.tolist(), k)
 
 
+def auto_n_probe(n_vectors: int, n_lists: int, k: int = 10,
+                 target_candidates_per_k: int = 32) -> int:
+    """Probe count from corpus cardinality (the IVF twin of
+    ``auto_n_planes``): probe enough inverted lists that the expected
+    candidate pool is ~32·k vectors.  Tiny corpora probe most lists —
+    k-means centroids are noisy at n≈10^2-10^3, so neighbors scatter
+    across lists (measured: the sf0.01 gate corpus needs 6/8 probes for
+    8/10 recall, while sf0.1 reaches 10/10 at 3) — and large corpora
+    keep both the probe fraction and the absolute candidate scan small."""
+    import math
+
+    want = target_candidates_per_k * k
+    return max(3, min(n_lists, math.ceil(want * n_lists / max(n_vectors, 1))))
+
+
 def auto_n_planes(n_vectors: int, target_bucket: int = 32,
                   lo: int = 2, hi: int = 24) -> int:
     """Plane count from corpus cardinality: aim for ~``target_bucket``
