@@ -130,6 +130,14 @@ def child(cpus: int) -> None:
     build_sec = time.time() - t0
     phases = manifest.get("phase_seconds", {})
 
+    if os.environ.get("WT_SCALE_BUILD_ONLY") == "1":
+        print(json.dumps({
+            "cpus": cpus, "docs": n, "build_sec": round(build_sec, 2),
+            "build_docs_per_sec": round(n / build_sec, 1),
+            "cpu_probe_mloops": probe, "phases": phases,
+        }))
+        return
+
     eng = SearchEngine(spark, idx)
     queries = [
         ("data", None, "bm25"), ("merge sort", None, "bm25"),
