@@ -522,3 +522,72 @@ def test_overwrite_mode_restored_after_mutation(spark, base_index):
     )
     assert spark.conf.get(key).lower() == "static"
     spark.conf.unset(key)
+
+
+def test_vacuum_removes_crash_leftovers(spark, base_index):
+    """vacuum_index GCs what a mid-flight-killed mutation strands
+    (staging dirs, orphaned versioned tables, the lease) and nothing
+    else — deletion is allow-listed to the engine's own table names."""
+    from watertower_spark.operators.maintenance import (
+        IndexLockedError,
+        vacuum_index,
+    )
+
+    idx, rows = base_index
+    # simulate a writer killed between publish and manifest commit
+    os.makedirs(f"{idx}/_tmp_victims_999_deadbeef", exist_ok=True)
+    with open(f"{idx}/_tmp_victims_999_deadbeef/part-0.parquet", "w") as f:
+        f.write("x")
+    os.makedirs(f"{idx}/doc_map_v99", exist_ok=True)
+    with open(f"{idx}/doc_map_v99/part-0.parquet", "w") as f:
+        f.write("x")
+    # a user file in the index dir must never be vacuum's business
+    os.makedirs(f"{idx}/notes_v1", exist_ok=True)
+    with open(f"{idx}/_meta/_mutation_lock", "w") as f:
+        f.write("pid=999999")
+
+    with pytest.raises(IndexLockedError):
+        vacuum_index(idx)
+    out = vacuum_index(idx, remove_stale_lease=True)
+    assert out["lease_removed"] is True
+    assert sorted(out["removed"]) == ["_tmp_victims_999_deadbeef", "doc_map_v99"]
+    assert not os.path.exists(f"{idx}/_tmp_victims_999_deadbeef")
+    assert not os.path.exists(f"{idx}/doc_map_v99")
+    assert os.path.isdir(f"{idx}/notes_v1")
+    # the lease is released afterwards and vacuum is idempotent
+    assert not os.path.exists(f"{idx}/_meta/_mutation_lock")
+    assert vacuum_index(idx) == {"removed": [], "lease_removed": False}
+    # live tables untouched: the index still searches
+    eng = SearchEngine(spark, idx)
+    assert eng.search("response", None, "en").count() > 0
+    shutil.rmtree(f"{idx}/notes_v1")
+
+
+def test_vacuum_noop_after_healthy_mutations(spark, base_index):
+    """A completed mutation chain GCs itself; vacuum then removes
+    nothing, and the manifest-referenced versioned tables survive."""
+    from watertower_spark.operators.index_build import table_path
+    from watertower_spark.operators.maintenance import vacuum_index
+
+    idx, rows = base_index
+    docs2, tags2 = _mkdocs(spark, rows[5:])
+    append_documents(spark, idx, docs2, tags2)
+    remove_documents(
+        spark, idx, spark.createDataFrame([(rows[0]["url"],)], "url string")
+    )
+    m = load_manifest(idx)
+    assert m.get("tables", {}).get("doc_map", "doc_map") != "doc_map", (
+        "remove should have published a versioned doc_map"
+    )
+    before = {tuple(sorted(r)) for r in eng_rows(spark, idx)}
+    out = vacuum_index(idx)
+    assert out == {"removed": [], "lease_removed": False}
+    assert os.path.isdir(table_path(idx, m, "doc_map"))
+    assert {tuple(sorted(r)) for r in eng_rows(spark, idx)} == before
+
+
+def eng_rows(spark, idx):
+    eng = SearchEngine(spark, idx)
+    return [
+        (r["url"],) for r in eng.search("response", None, "en").collect()
+    ]

@@ -119,6 +119,19 @@ def exists(path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def list_dir(path: str) -> list:
+    """Immediate child entry names of a directory ([] if missing)."""
+    if not _is_remote(path):
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+    _, fs, jpath = _hadoop(path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
+
+
 def list_shard_dirs(table_dir: str) -> list:
     """Shard ids whose `shard=N` partition directory holds data files."""
     out = []

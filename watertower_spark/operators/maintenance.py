@@ -621,6 +621,74 @@ def _gc_dirs(paths: list) -> None:
         fsio.delete_dir(p)
 
 
+# every table directory the engine ever writes at the index root; vacuum
+# only ever deletes names derived from this set (or _tmp_* staging dirs),
+# so a user file accidentally dropped into the index dir is never touched
+_KNOWN_TABLES = frozenset({
+    "postings", "tags", "doc_stats", "doc_len", "doc_map", "doc_store",
+    "term_stats", "shard_metrics",
+})
+
+
+def vacuum_index(index_dir: str, remove_stale_lease: bool = False) -> dict:
+    """Garbage-collect crash leftovers from an index directory.
+
+    The mutation paths GC their own superseded table versions and
+    staging dirs after each manifest commit (``_gc_dirs``), so a healthy
+    index never accumulates garbage.  A mutation killed mid-flight,
+    however, strands up to three kinds of debris that are invisible to
+    readers (the manifest never references them) but cost real money on
+    an object store at web scale:
+
+    - ``_tmp_*`` staging dirs (victim snapshots, old-contribution
+      snapshots, term_stats delta stages);
+    - versioned table dirs (``term_stats_vN``/``doc_map_vN``/… and the
+      superseded unversioned original) that lost the manifest-pointer
+      flip race when the writer died between publish and commit;
+    - the advisory mutation lease itself.
+
+    Deletion is allow-listed: only ``_tmp_*`` names and dirs whose base
+    name is one of the engine's own tables are candidates, and of those
+    only the ones the committed manifest does NOT reference.  Vacuum
+    takes the single-writer lease (it deletes directories a concurrent
+    mutation may be staging into); pass ``remove_stale_lease=True`` to
+    break a dead writer's lease first — only safe when the operator
+    knows that writer is gone (the reference's equivalent is restarting
+    the single daemon process, database.go:23-45).
+
+    Returns {"removed": [names], "lease_removed": bool}.
+    """
+    import re
+
+    from watertower_spark.functions import fsio
+
+    from .index_build import load_manifest
+
+    lease = f"{index_dir}/_meta/_mutation_lock"
+    lease_removed = False
+    if remove_stale_lease and fsio.exists(lease):
+        fsio.delete_file(lease)
+        lease_removed = True
+    with _mutation_lock(index_dir):
+        m = load_manifest(index_dir)
+        tables = m.get("tables", {})
+        live = {tables.get(name, name) for name in _KNOWN_TABLES}
+        removed = []
+        for entry in fsio.list_dir(index_dir):
+            if entry == "_meta":
+                continue
+            if entry.startswith("_tmp_"):
+                fsio.delete_dir(f"{index_dir}/{entry}")
+                removed.append(entry)
+                continue
+            vm = re.match(r"^(.+)_v\d+$", entry)
+            base = vm.group(1) if vm else entry
+            if base in _KNOWN_TABLES and entry not in live:
+                fsio.delete_dir(f"{index_dir}/{entry}")
+                removed.append(entry)
+    return {"removed": removed, "lease_removed": lease_removed}
+
+
 def _read_shard_table(spark, index_dir: str, table: str, shards) -> "DataFrame | None":
     """Read ONLY the given shards' partitions of a shard-partitioned
     table, path-scoped (with basePath so the shard column survives).
