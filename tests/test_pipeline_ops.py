@@ -55,22 +55,21 @@ def test_minhash_lsh_finds_near_dup(token_df):
 
 def test_minhash_verify_linear_under_boilerplate(spark):
     """Regression (VERDICT r1): a boilerplate shingle shared by 5k docs
-    must not explode the exact-Jaccard verification.  The verify join is
-    driven from candidate pairs, so its intermediate is exactly
-    Σ_pairs |shingles(da)| — asserted on row counts, not wall time."""
+    must not explode the exact-Jaccard verification.  Verification is
+    per-candidate-pair array_intersect over per-doc shingle-hash sets —
+    exactly ONE row per candidate regardless of any shingle's document
+    frequency (the r1 pair×shingle blow-up is structurally impossible)."""
     n = 5000
-    rows = []
-    for d in range(1, n + 1):
-        # 3 unique shingles per doc + ONE shingle shared by every doc
-        rows += [(d, f"u{d}s{j}") for j in range(3)] + [(d, "all rights reserved")]
-    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    boiler = 10**12  # the ONE hash shared by every doc
+    rows = [
+        (d, [boiler, d * 10 + 1, d * 10 + 2, d * 10 + 3]) for d in range(1, n + 1)
+    ]
+    hs = spark.createDataFrame(rows, "doc_id long, hset array<long>")
     # 2500 disjoint candidate pairs (the LSH stage's output shape)
     cand = spark.createDataFrame(
         [(d, d + 1) for d in range(1, n, 2)], "da long, db long"
     )
-    inter_rows = dedup._pair_shingle_rows(cand, sh).count()
-    assert inter_rows == cand.count() * 4  # linear: 4 shingles per da
-    verified = dedup._exact_jaccard(cand, sh, threshold=0.1).collect()
+    verified = dedup._exact_jaccard_sets(cand, hs, threshold=0.1).collect()
     # every pair shares exactly the boilerplate shingle: j = 1/(4+4-1)
     assert len(verified) == 2500
     assert all(abs(r["jaccard"] - round(1 / 7, 4)) < 1e-9 for r in verified)

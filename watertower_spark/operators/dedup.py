@@ -33,17 +33,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _shingles(tokens: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per doc from (doc_id, pos, term)."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("term")] + [F.lead("term", i).over(w).alias(f"t{i}") for i in range(1, k)]
-    sh = tokens.select("doc_id", *cols)
-    last = f"t{k - 1}"
-    return (
-        sh.where(F.col(last).isNotNull())
-        .select("doc_id", F.concat_ws(" ", "term", *[f"t{i}" for i in range(1, k)]).alias("shingle"))
-        .distinct()
+def _shingle_sets(tokens: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, hset array<long>): distinct 64-bit k-shingle hashes per doc.
+
+    ONE shuffle (the doc_id groupBy); ordering, shingling, hashing and
+    dedup all happen columnar inside whole-stage codegen on the
+    collected per-doc token array — no window exchange, no separate
+    DISTINCT exchange.  The hash is xxhash64 over the space-joined
+    k-token shingle string, so set identity is exact up to 64-bit
+    collisions (~|A||B|/2^64 per pair — vanishing at any real document
+    size, and the standard trade in MinHash verification).  Docs with
+    fewer than k tokens have no shingles and produce no row.  A doc's
+    hset is bounded by its own token count (an array of longs is
+    smaller than the text it came from), so per-doc rows stay modest
+    even at CC scale.
+    """
+    ts = tokens.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("ts")
     )
+    shingle = "concat_ws(' ', " + ", ".join(f"ts[i + {j}].term" for j in range(k)) + ")"
+    return ts.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN size(ts) < {k} THEN CAST(array() AS array<bigint>)
+                ELSE array_distinct(transform(
+                  sequence(0, size(ts) - {k}),
+                  i -> xxhash64({shingle})
+                )) END AS hset"""
+        ),
+    ).where(F.size("hset") > 0)
 
 
 def minhash_signatures(tokens: DataFrame, n_hashes: int = 32, k: int = 3, seed: int = 7) -> DataFrame:
@@ -55,25 +73,34 @@ def minhash_signatures(tokens: DataFrame, n_hashes: int = 32, k: int = 3, seed: 
     hash per shingle, n permutations as cheap affine maps, all JVM-side
     columnar.
     """
+    return _signatures_from_sets(_shingle_sets(tokens, k), n_hashes, seed)
+
+
+def _signatures_from_sets(
+    hs: DataFrame, n_hashes: int, seed: int, keep_hset: bool = False
+) -> DataFrame:
+    """(doc_id[, hset], sig) from a (doc_id, hset) relation — pure map
+    stage (array_min over the affine-permuted hash array), no shuffle."""
     import random
 
     rnd = random.Random(seed)
     a = [rnd.randrange(1, _COEF_MAX) for _ in range(n_hashes)]
     b = [rnd.randrange(0, _COEF_MAX) for _ in range(n_hashes)]
-    sh = _shingles(tokens, k).withColumn(
-        "hx", F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME))
-    )
+    hx = hs.withColumn("hx", F.transform("hset", lambda x: F.pmod(x, F.lit(HASH_PRIME))))
+
+    def perm(ai: int, bi: int):
+        # single-arg lambda on purpose: a two-arg transform lambda would
+        # receive the array INDEX as its second argument
+        return lambda x: F.pmod(
+            F.pmod(F.lit(ai) * x, F.lit(HASH_PRIME)) + F.lit(bi), F.lit(HASH_PRIME)
+        )
+
     mins = [
-        F.min(
-            F.pmod(
-                F.pmod(F.lit(a[i]) * F.col("hx"), F.lit(HASH_PRIME)) + F.lit(b[i]),
-                F.lit(HASH_PRIME),
-            )
-        ).alias(f"h{i}")
+        F.array_min(F.transform("hx", perm(a[i], b[i]))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    keep = ["hset"] if keep_hset else []
+    return hx.select("doc_id", *keep, F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -88,62 +115,75 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (da, db, jaccard) with jaccard >= threshold.
 
     LSH banding generates candidates (same band-hash bucket); candidates
-    are verified with EXACT shingle Jaccard, so threshold is exact and
+    are verified with EXACT shingle Jaccard (on 64-bit shingle hashes —
+    collision-exact, see ``_shingle_sets``), so threshold is exact and
     LSH only affects recall.  Buckets larger than max_bucket (degenerate
     boilerplate) are dropped with a count, not exploded.
+
+    The per-doc hset array computed by ``_shingle_sets`` rides THROUGH
+    the banding self-join (both sides of one exchange, which Spark
+    reuses), so every candidate pair emerges with both shingle sets
+    attached and verification is a columnar ``array_intersect`` after a
+    (da, db) dedup — the whole operator is ONE token-stream pass plus
+    three narrow shuffles (doc groupBy, band-bucket exchange, pair
+    dedup), with NO pair×shingle expansion anywhere (the r1
+    boilerplate-explosion class of failure is structurally impossible).
+    The band exchange carries each doc's hset once per band; at CC
+    scale that is bands× the shingle bytes, the deliberate trade for
+    eliminating two verification joins against a second token-stream
+    pass.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(tokens, n_hashes, k, seed)
+    sig = _signatures_from_sets(_shingle_sets(tokens, k), n_hashes, seed, keep_hset=True)
     band_cols = F.array(
         *[
             F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
             for i in range(bands)
         ]
     )
-    # one exploded (doc_id, band, bucket) relation → ONE self-join on
-    # (band, bucket) replaces a join per band (fewer stages, same pairs)
-    banded = sig.select("doc_id", F.posexplode(band_cols).alias("band", "bucket"))
+    # one exploded (doc_id, hset, band, bucket) relation → ONE self-join
+    # on (band, bucket) replaces a join per band (fewer stages, same pairs)
+    banded = sig.select("doc_id", "hset", F.posexplode(band_cols).alias("band", "bucket"))
     sized = banded.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bsz") <= max_bucket).drop("bsz")
-    cand = (
+    pairs = (
         sized.alias("x")
         .join(sized.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.col("x.hset").alias("ha"),
+            F.col("y.hset").alias("hb"),
+        )
+        .groupBy("da", "db")  # a pair can collide in several bands
+        .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
     )
-
-    return _exact_jaccard(cand, _shingles(tokens, k), threshold)
-
-
-def _pair_shingle_rows(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Candidate pairs expanded with da's shingle set — the verification
-    intermediate.  Row count = Σ over pairs of |shingles(da)|: LINEAR in
-    the candidate count and independent of any shingle's document
-    frequency.  (A per-shingle self-join, even restricted to candidate
-    docs, explodes to ~m²/2 rows when one boilerplate shingle is shared
-    by m candidate docs; VERDICT r1.)"""
-    return cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
+    return _jaccard_from_arrays(pairs, threshold)
 
 
-def _exact_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-Jaccard per candidate pair: match db's shingles on
-    the composite key (db, shingle), count, normalize by set sizes."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        _pair_shingle_rows(cand, sh)
-        .join(sh.select(F.col("doc_id").alias("db"), "shingle"), ["db", "shingle"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
-    )
+def _jaccard_from_arrays(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(da, db, jaccard >= threshold) from pairs carrying both hsets."""
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        pairs.withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("ha") + F.size("hb") - F.col("inter")), 4),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("da", "db", "jaccard")
     )
+
+
+def _exact_jaccard_sets(cand: DataFrame, hs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for externally-supplied candidate pairs: two joins
+    attach the per-doc arrays, then the columnar verifier — one output
+    row per candidate, no explosion."""
+    pairs = cand.join(
+        hs.select(F.col("doc_id").alias("da"), F.col("hset").alias("ha")), "da"
+    ).join(hs.select(F.col("doc_id").alias("db"), F.col("hset").alias("hb")), "db")
+    return _jaccard_from_arrays(pairs, threshold)
 
 
 def winnow_fingerprints(tokens: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
