@@ -586,6 +586,45 @@ def test_vacuum_noop_after_healthy_mutations(spark, base_index):
     assert {tuple(sorted(r)) for r in eng_rows(spark, idx)} == before
 
 
+def test_compact_index_merges_sparse_shards(spark, base_index):
+    """Two 1-doc appends leave two underfilled shards; compaction merges
+    them into one dense tail shard with identical search results (url +
+    score — doc ids are reassigned by design) and is then a no-op."""
+    from watertower_spark.operators.maintenance import compact_index
+
+    idx, rows = base_index  # 5 docs, dps=3 → shard 0 (3 docs), shard 1 (2)
+    docs_a, tags_a = _mkdocs(spark, rows[5:6])
+    append_documents(spark, idx, docs_a, tags_a)   # shard 2: 1 doc
+    docs_b, tags_b = _mkdocs(spark, rows[6:7])
+    append_documents(spark, idx, docs_b, tags_b)   # shard 3: 1 doc
+
+    def hits(q="response"):
+        eng = SearchEngine(spark, idx)
+        return sorted(
+            (r["url"], r["score"]) for r in eng.search(q, None, "en").collect()
+        )
+
+    before = hits()
+    assert before, "sanity: query must match the fixture corpus"
+
+    out = compact_index(spark, idx)
+    assert out["compacted_shards"] == [2, 3]
+    assert out["docs_moved"] == 2
+    m = load_manifest(idx)
+    assert m["doc_count"] == 7
+    # the sparse shard dirs are gone; the dense replacement exists
+    assert not os.path.exists(f"{idx}/postings/shard=2")
+    assert not os.path.exists(f"{idx}/postings/shard=3")
+    assert os.path.exists(f"{idx}/postings/shard={out['n_shards'] - 1}")
+
+    after = hits()
+    assert [u for u, _ in after] == [u for u, _ in before]
+    for (_, sa), (_, sb) in zip(after, before):
+        assert sa == pytest.approx(sb, rel=1e-9)
+    # nothing left to merge: second call is a no-op
+    assert compact_index(spark, idx)["compacted_shards"] == []
+
+
 def eng_rows(spark, idx):
     eng = SearchEngine(spark, idx)
     return [

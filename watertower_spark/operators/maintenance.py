@@ -689,6 +689,73 @@ def vacuum_index(index_dir: str, remove_stale_lease: bool = False) -> dict:
     return {"removed": removed, "lease_removed": lease_removed}
 
 
+def compact_index(spark: SparkSession, index_dir: str,
+                  min_fill: float = 0.5) -> dict:
+    """Merge underfilled shards by re-appending their docs densely.
+
+    ``append_documents`` starts every batch at a fresh shard boundary so
+    existing files are never rewritten — the right call per mutation,
+    but a streaming ingest (foreachBatch → append) accumulates one
+    underfilled shard per micro-batch forever: more partitions to
+    prune, more small files, wider AND-shard fan-out per query.
+
+    Compaction composes the two proven mutations: snapshot the sparse
+    shards' docs (and tags) out of doc_store, ``remove`` them, then
+    ``append`` them back as ONE dense batch.  Statistics, avgdl and the
+    term_stats buckets all flow through the same incremental delta
+    paths, so correctness is inherited rather than re-implemented, and
+    the cost is O(docs moved) — untouched shards are never read (the
+    planning pass scans only doc_stats' shard column, which parquet
+    answers from footers/metadata).  Doc ids are reassigned; url is the
+    stable external key (reference semantics: ids are an internal
+    counter, database.go:120-156).
+
+    A shard is sparse when it holds fewer than ``min_fill *
+    docs_per_shard`` docs; compaction runs only when at least two
+    qualify (re-appending a single shard would just renumber it).
+    Returns {"compacted_shards": [...], "docs_moved": N, "n_shards":
+    manifest value} — a no-op returns compacted_shards=[].
+    """
+    from watertower_spark.functions import fsio
+
+    with _mutation_lock(index_dir):
+        m = load_manifest(index_dir)
+        dps = m["docs_per_shard"]
+        counts = (
+            spark.read.parquet(f"{index_dir}/doc_stats")
+            .groupBy("shard").count().collect()
+        )
+        sparse = sorted(
+            int(r["shard"]) for r in counts if r["count"] < min_fill * dps
+        )
+        if len(sparse) < 2:
+            return {"compacted_shards": [], "docs_moved": 0,
+                    "n_shards": m["n_shards"]}
+
+        # snapshot the moved docs (and their tags) to a staging dir
+        # BEFORE remove rewrites/deletes the very files they live in
+        tmp = f"{index_dir}/_tmp_compact_{_staging_suffix()}"
+        store = spark.read.parquet(f"{index_dir}/doc_store") \
+            .where(F.col("shard").isin(sparse))
+        store.drop("shard").write.mode("overwrite").parquet(f"{tmp}/docs")
+        moved = spark.read.parquet(f"{tmp}/docs")
+        n_moved = moved.count()
+        tags_df = None
+        if m.get("has_tags"):
+            _tags_as_rows(spark, index_dir, sparse, moved) \
+                .join(moved.select("doc_id", "url"), "doc_id") \
+                .select("url", "tags") \
+                .write.mode("overwrite").parquet(f"{tmp}/tags")
+            tags_df = spark.read.parquet(f"{tmp}/tags")
+
+        _remove_documents(spark, index_dir, moved.select("url"))
+        m2 = _append_documents(spark, index_dir,
+                               moved.drop("doc_id"), tags_df)
+        fsio.delete_dir(tmp)
+    return {"compacted_shards": sparse, "docs_moved": n_moved,
+            "n_shards": m2["n_shards"]}
+
+
 def _read_shard_table(spark, index_dir: str, table: str, shards) -> "DataFrame | None":
     """Read ONLY the given shards' partitions of a shard-partitioned
     table, path-scoped (with basePath so the shard column survives).
