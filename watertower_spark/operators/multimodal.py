@@ -5,9 +5,11 @@ PIL/torchaudio/pyav are unavailable — so the line between REAL and STUB
 is drawn at what pure numpy + the stdlib can parse):
 
 - **image** — REAL decode/encode for binary PPM (P6), a complete
-  uncompressed raster format, plus a REAL nearest-neighbor resize.
-  Compressed formats (PNG/JPEG) raise a decode error that flows into
-  the (ok=false, err) row contract; a real codec (PIL) drops into
+  uncompressed raster format, AND for PNG (a real DEFLATE-compressed
+  container: stdlib zlib + all five scanline filters, gray/RGB/RGBA,
+  8-bit, non-interlaced), plus a REAL nearest-neighbor resize.
+  JPEG (DCT entropy coding needs a codec lib) raises a decode error
+  that flows into the (ok=false, err) row contract; PIL drops into
   ``decode_image`` without touching the dataflow.
 - **audio** — REAL decode/encode for WAV PCM16 via the stdlib ``wave``
   module; features (duration, RMS, zero-crossing rate) computed from
@@ -27,6 +29,8 @@ CC scale where some fraction of every media crawl is garbage.
 from __future__ import annotations
 
 import io
+import struct
+import zlib
 
 import wave
 from typing import Iterator
@@ -61,13 +65,158 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for PPM P6 → uint8 (h, w, 3).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Raises ValueError for anything else (PNG/JPEG need a codec lib; a
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes.
+
+    A REAL compressed encoder: zlib-DEFLATEd IDAT, CRC'd chunks, 8-bit
+    non-interlaced.  ``filter_type`` applies one PNG scanline filter
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to every row — any choice
+    is a valid PNG; the non-zero types exist mainly to exercise
+    decode_png's unfiltering against external-encoder output shapes."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png takes uint8 pixels")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    nc = pixels.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}.get(nc)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {nc}")
+    h, w = pixels.shape[:2]
+    stride = w * nc
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    prior = np.zeros_like(flat)
+    prior[1:] = flat[:-1]
+    left = np.zeros_like(flat)
+    left[:, nc:] = flat[:, :-nc]
+    upleft = np.zeros_like(flat)
+    upleft[1:, nc:] = flat[:-1, :-nc]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - prior
+    elif filter_type == 3:
+        filt = flat - (left + prior) // 2
+    elif filter_type == 4:
+        filt = flat - _png_paeth(left, prior, upleft)
+    else:
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    scan = np.empty((h, stride + 1), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = filt & 0xFF
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode → uint8 (h, w, 3): chunk walk with CRC checks,
+    zlib-inflated IDAT, full unfiltering (None/Sub/Up/Average/Paeth).
+    8-bit gray/RGB/RGBA, non-interlaced (gray is broadcast to RGB and
+    alpha dropped so the image pipeline sees one raster shape).
+    Palette/16-bit/Adam7 raise — into the (ok=false, err) contract."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, idat, hdr = len(_PNG_SIG), [], None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        crc_raw = payload[pos + 8 + length:pos + 12 + length]
+        if len(data) < length or len(crc_raw) < 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != struct.unpack(">I", crc_raw)[0]:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        raise ValueError("PNG stream has no IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    nc = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if nc is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if not idat:
+        raise ValueError("PNG stream has no IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
+    stride = w * nc
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = int(scan[r, 0])
+        cur = scan[r, 1:].astype(np.int64)
+        up = recon[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        if ft == 0:
+            out = cur
+        elif ft == 1:  # Sub: per-channel running sum along the row
+            out = cur.copy()
+            for c in range(nc):
+                out[c::nc] = np.cumsum(cur[c::nc])
+        elif ft == 2:  # Up
+            out = cur + up
+        elif ft in (3, 4):  # Average / Paeth need the reconstructed left
+            out = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = out[i - nc] if i >= nc else 0
+                b = up[i]
+                if ft == 3:
+                    out[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = up[i - nc] if i >= nc else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        recon[r] = out & 0xFF
+    px = recon.reshape(h, w, nc)
+    if nc == 1:
+        return np.repeat(px, 3, axis=2)
+    if nc == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for PPM P6 and PNG → uint8 (h, w, 3).
+
+    Raises ValueError for anything else (JPEG needs a codec lib; a
     PIL-backed branch slots in here when available)."""
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if not payload.startswith(b"P6"):
-        raise ValueError("unsupported image format (only PPM P6 decodable here)")
+        raise ValueError("unsupported image format (PPM P6 / PNG decodable here)")
     # header: magic, width, height, maxval — whitespace separated,
     # '#' comments allowed
     tokens: list = []
@@ -208,9 +357,10 @@ def decode_y4m(payload: bytes) -> tuple:
 # ------------------------------------------------------------ synthesizer
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media rows with REAL payloads where a codec exists:
-    images are valid PPM P6 rasters, audio rows are valid WAV PCM16
-    clips; video payloads stay opaque bytes (stub modality)."""
+    """Deterministic media rows with REAL payloads: images alternate
+    between PPM P6 rasters and DEFLATE-compressed PNGs (cycling all
+    five scanline filters), audio rows are WAV PCM16 clips, video rows
+    are YUV4MPEG2 streams."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -219,7 +369,11 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload, mime, dur = encode_ppm(px), "image/x-portable-pixmap", 0
+            if (i // 3) % 2:
+                payload, mime = encode_png(px, filter_type=(i // 3) % 5), "image/png"
+            else:
+                payload, mime = encode_ppm(px), "image/x-portable-pixmap"
+            dur = 0
         elif kind == "audio":
             rate = 8000
             dur = int(rng.integers(100, 2000))
