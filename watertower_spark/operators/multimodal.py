@@ -4,22 +4,24 @@ Decode status per modality (this container ships no media codec libs —
 PIL/torchaudio/pyav are unavailable — so the line between REAL and STUB
 is drawn at what pure numpy + the stdlib can parse):
 
-- **image** — REAL decode/encode for binary PPM (P6), a complete
-  uncompressed raster format, AND for PNG (a real DEFLATE-compressed
-  container: stdlib zlib + all five scanline filters, gray/RGB/RGBA,
-  8-bit, non-interlaced), plus a REAL nearest-neighbor resize.
-  JPEG (DCT entropy coding needs a codec lib) raises a decode error
-  that flows into the (ok=false, err) row contract; PIL drops into
-  ``decode_image`` without touching the dataflow.
+- **image** — REAL decode/encode for binary PPM (P6), PNG (DEFLATE
+  via stdlib zlib, all five scanline filters, gray/RGB/RGBA 8-bit
+  non-interlaced), and baseline JPEG (lossy DCT + Huffman, 4:4:4 and
+  4:2:0 — see operators/jpeg.py), plus a REAL nearest-neighbor
+  resize.  Other formats raise a decode error that flows into the
+  (ok=false, err) row contract; PIL drops into ``decode_image``
+  without touching the dataflow.
 - **audio** — REAL decode/encode for WAV PCM16 via the stdlib ``wave``
   module; features (duration, RMS, zero-crossing rate) computed from
   the actual samples.
 - **video** — REAL decode/encode for YUV4MPEG2 (Y4M), the classic
   uncompressed video container (plain-text stream/frame headers +
-  raw planar frames; Cmono/C420*/C422/C444 colorspaces): frame
-  sampling decodes the actual luma planes at the sampled timestamps.
-  Compressed containers (mp4/webm) raise into the (ok=false, err)
-  row contract; pyav slots into ``decode_y4m``'s place when available.
+  raw planar frames; Cmono/C420*/C422/C444 colorspaces), AND for
+  MJPEG-in-AVI (RIFF chunk walk + per-frame baseline JPEG — a real
+  compressed video container): frame sampling decodes the actual
+  luma planes at the sampled timestamps.  Inter-coded containers
+  (mp4/webm) raise into the (ok=false, err) row contract; pyav slots
+  into ``decode_video_luma``'s dispatch when available.
 
 Dirty-payload posture is part of the contract everywhere: decode
 failures become (ok=false, err) rows, never task retries — required at
@@ -209,14 +211,18 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for PPM P6 and PNG → uint8 (h, w, 3).
-
-    Raises ValueError for anything else (JPEG needs a codec lib; a
+    """REAL image decode for PPM P6, PNG, and baseline JPEG →
+    uint8 (h, w, 3).  Raises ValueError for anything else (a
     PIL-backed branch slots in here when available)."""
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from watertower_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not payload.startswith(b"P6"):
-        raise ValueError("unsupported image format (PPM P6 / PNG decodable here)")
+        raise ValueError(
+            "unsupported image format (PPM P6 / PNG / JPEG decodable here)")
     # header: magic, width, height, maxval — whitespace separated,
     # '#' comments allowed
     tokens: list = []
@@ -354,13 +360,111 @@ def decode_y4m(payload: bytes) -> tuple:
     return np.stack(frames), (fn, fd), cs
 
 
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: tuple = (25, 1),
+                     quality: int = 85) -> bytes:
+    """uint8 (n, h, w, 3) RGB or (n, h, w) gray frames → MJPEG-in-AVI
+    bytes: a REAL compressed video container (RIFF 'AVI ' with avih/
+    strh/strf headers and one baseline-JPEG '00dc' chunk per frame)."""
+    from watertower_spark.operators.jpeg import encode_jpeg
+
+    n = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+    fn, fd = fps
+    uspf = int(round(1_000_000 * fd / fn))
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack("<10I", uspf, max_sz * fn // max(fd, 1), 0, 0x10,
+                       n, 0, 1, max_sz, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<10I", 0, 0, 0, fd, fn, 0, n,
+                                            max_sz, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi",
+                      b"".join(_riff_chunk(b"00dc", j) for j in jpegs))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) \
+        + b"AVI " + hdrl + movi
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple:
+    """REAL MJPEG-AVI decode → (RGB frames uint8 (n, h, w, 3),
+    (fps_num, fps_den)).  Walks the RIFF chunk tree (word-aligned),
+    takes fps from strh's rate/scale (falling back to avih's
+    µs-per-frame), and decodes every '00dc'/'00db' movi chunk as a
+    baseline JPEG.  Raises ValueError for non-AVI RIFF, non-MJPEG
+    streams, or malformed chunks."""
+    from watertower_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("unsupported video format (Y4M / MJPEG-AVI decodable here)")
+    fn, fd = 25, 1
+    frames: list = []
+
+    def walk(data: bytes) -> None:
+        nonlocal fn, fd
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc == b"strh" and body[:4] == b"vids":
+                if body[4:8] not in (b"MJPG", b"mjpg"):
+                    raise ValueError(
+                        f"unsupported AVI video codec {body[4:8]!r}")
+                scale, rate = struct.unpack("<2I", body[20:28])
+                if scale and rate:
+                    fn, fd = rate, scale
+            elif fourcc == b"avih" and fn == 25 and fd == 1:
+                (uspf,) = struct.unpack("<I", body[:4])
+                if uspf:
+                    fn, fd = 1_000_000, uspf
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(bytes(body)))
+            pos += 8 + size + (size % 2)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("AVI stream contains no video frames")
+    return np.stack(frames), (fn, fd)
+
+
+_REC601 = np.array([0.299, 0.587, 0.114])
+
+
+def decode_video_luma(payload: bytes) -> tuple:
+    """Container dispatch for the frame-sampling operator: Y4M or
+    MJPEG-AVI → (luma frames uint8 (n, h, w), (fps_num, fps_den)).
+    pyav for inter-coded containers slots in here."""
+    if payload.startswith(b"RIFF"):
+        rgb, fps = decode_avi_mjpeg(payload)
+        return (rgb.astype(np.float64) @ _REC601).round().clip(0, 255).astype(np.uint8), fps
+    frames, fps, _cs = decode_y4m(payload)
+    return frames, fps
+
+
 # ------------------------------------------------------------ synthesizer
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media rows with REAL payloads: images alternate
-    between PPM P6 rasters and DEFLATE-compressed PNGs (cycling all
-    five scanline filters), audio rows are WAV PCM16 clips, video rows
-    are YUV4MPEG2 streams."""
+    """Deterministic media rows with REAL payloads: images cycle
+    through PPM P6 / PNG (all five scanline filters) / baseline JPEG,
+    audio rows are WAV PCM16 clips, video rows alternate YUV4MPEG2
+    streams and MJPEG-in-AVI containers."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -369,8 +473,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if (i // 3) % 2:
+            fmt = (i // 3) % 3
+            if fmt == 1:
                 payload, mime = encode_png(px, filter_type=(i // 3) % 5), "image/png"
+            elif fmt == 2:
+                from watertower_spark.operators.jpeg import encode_jpeg
+
+                payload, mime = encode_jpeg(px, quality=90), "image/jpeg"
             else:
                 payload, mime = encode_ppm(px), "image/x-portable-pixmap"
             dur = 0
@@ -386,10 +495,15 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             dur = int(rng.integers(1000, 60000))
             fps = 4
             n_frames = max(1, dur * fps // 1000)
-            frames = rng.integers(0, 256, size=(n_frames, h, w), dtype=np.uint8)
-            payload = encode_y4m(frames, fps=(fps, 1),
-                                 colorspace="C420jpeg" if i % 2 else "Cmono")
-            mime = "video/x-yuv4mpeg"
+            if (i // 3) % 3 == 2:
+                rgb = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+                payload = encode_avi_mjpeg(rgb, fps=(fps, 1), quality=90)
+                mime = "video/x-msvideo"
+            else:
+                frames = rng.integers(0, 256, size=(n_frames, h, w), dtype=np.uint8)
+                payload = encode_y4m(frames, fps=(fps, 1),
+                                     colorspace="C420jpeg" if i % 2 else "Cmono")
+                mime = "video/x-yuv4mpeg"
         rows.append((i, kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -522,7 +636,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 n_samples = max(1, int(dur) // every_ms)
                 try:
-                    frames, (fn, fd), _cs = decode_y4m(bytes(payload))
+                    frames, (fn, fd) = decode_video_luma(bytes(payload))
                     h, w = frames.shape[1], frames.shape[2]
                     for fi in range(n_samples):
                         t = fi * every_ms
