@@ -11,9 +11,11 @@ is drawn at what pure numpy + the stdlib can parse):
   resize.  Other formats raise a decode error that flows into the
   (ok=false, err) row contract; PIL drops into ``decode_image``
   without touching the dataflow.
-- **audio** — REAL decode/encode for WAV PCM16 via the stdlib ``wave``
-  module; features (duration, RMS, zero-crossing rate) computed from
-  the actual samples.
+- **audio** — REAL decode/encode for WAV PCM16 (stdlib ``wave``) AND
+  for IMA ADPCM WAV (format tag 0x0011 — a real 4:1 compressed audio
+  codec, block headers + 4-bit nibble stream, public step tables);
+  features (duration, RMS, zero-crossing rate) computed from the
+  actual samples.
 - **video** — REAL decode/encode for YUV4MPEG2 (Y4M), the classic
   uncompressed video container (plain-text stream/frame headers +
   raw planar frames; Cmono/C420*/C422/C444 colorspaces), AND for
@@ -266,16 +268,142 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple:
-    """REAL WAV PCM decode → (int16 samples, sample_rate)."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        if f.getsampwidth() != 2:
-            raise ValueError(f"unsupported sample width {f.getsampwidth()}")
-        rate = f.getframerate()
-        nch = f.getnchannels()
-        data = f.readframes(f.getnframes())
+    """REAL WAV decode → (int16 samples, sample_rate): PCM16 via the
+    stdlib ``wave`` module, IMA ADPCM (format 0x0011) via the nibble
+    decoder below."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            if f.getsampwidth() != 2:
+                raise ValueError(f"unsupported sample width {f.getsampwidth()}")
+            rate = f.getframerate()
+            nch = f.getnchannels()
+            data = f.readframes(f.getnframes())
+    except (wave.Error, EOFError):
+        return decode_wav_ima_adpcm(payload)
     samples = np.frombuffer(data, dtype="<i2")
     if nch > 1:
         samples = samples.reshape(-1, nch).mean(axis=1).astype("<i2")
+    return samples, rate
+
+
+# IMA ADPCM constants (public spec / IMA reference algorithm)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple:
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble & 7])))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, rate: int = 16000,
+                         block_align: int = 512) -> bytes:
+    """int16 mono samples → IMA ADPCM WAV bytes (format tag 0x0011):
+    REAL ~4:1 lossy compression.  Each block carries a 4-byte header
+    (int16 predictor, step index, reserved) + 4-bit nibbles, low
+    nibble first."""
+    samples = samples.astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    blocks = []
+    index = 0
+    for b0 in range(0, len(samples), spb):
+        chunk = samples[b0:b0 + spb]
+        pred = int(chunk[0])
+        blocks.append(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            pred, index = _ima_step(pred, index, n)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                       for i in range(0, len(nibbles), 2))
+        # short final block still pads to block_align per the format
+        blocks.append(packed.ljust(block_align - 4, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, rate,
+                      rate * block_align // spb if spb else rate,
+                      block_align, 4, 2, spb)
+    fact = struct.pack("<I", len(samples))
+    body = (b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"fact", fact)
+            + _riff_chunk(b"data", data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> tuple:
+    """REAL IMA ADPCM WAV decode → (int16 samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (PCM16/IMA-ADPCM WAV decodable here)")
+    pos = 12
+    fmt = data = None
+    n_samples = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif fourcc == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV stream missing fmt/data chunks")
+    tag, nch, rate, _bps, block_align = struct.unpack("<HHIIH", fmt[:14])
+    if tag != 0x0011:
+        raise ValueError(f"unsupported WAV format tag {tag:#06x}")
+    if nch != 1:
+        raise ValueError("only mono IMA ADPCM supported")
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated IMA ADPCM block")
+        pred, index, _res = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for nibble in (byte & 0xF, byte >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    samples = np.array(out, dtype=np.int16)
+    if n_samples is not None:
+        samples = samples[:n_samples]
     return samples, rate
 
 
