@@ -91,6 +91,38 @@ def test_minhash_boilerplate_no_false_pairs(spark):
     assert pairs == {(1, 2): 0.8}
 
 
+def test_duplicate_spans_exact_substr(spark):
+    """ExactSubstr semantics pinned on crafted docs: the globally first
+    occurrence (keeper) is never reported; later occurrences merge into
+    maximal spans; two back-to-back copies chain across the exact-L gap
+    into ONE span."""
+    shared = ["the", "quick", "brown", "fox", "jumps", "over"]
+    docs = {
+        0: shared + ["zebra", "one"],            # keeper occurrence
+        1: ["alpha", "beta"] + shared + ["gamma"],
+        2: shared + shared,                       # two copies, back to back
+    }
+    rows = [(d, p, t) for d, ts in docs.items() for p, t in enumerate(ts)]
+    tok = spark.createDataFrame(rows, "doc_id int, pos int, term string")
+    out = {r["doc_id"]: r for r in dedup.duplicate_spans(tok, L=3).collect()}
+    assert 0 not in out                      # keeper survives untouched
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_windows"]) == (2, 7, 4)
+    # doc 2: dup windows at 0-3 and 6-9; gap 6-3 == L chains → one span
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_windows"]) == (0, 11, 8)
+    assert len(out) == 2
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """A substring repeated inside ONE doc: the first occurrence is the
+    keeper, the second is reported."""
+    ts = ["x", "y", "z", "pad1", "pad2", "pad3", "x", "y", "z"]
+    tok = spark.createDataFrame(
+        [(9, p, t) for p, t in enumerate(ts)], "doc_id int, pos int, term string"
+    )
+    (row,) = dedup.duplicate_spans(tok, L=3).collect()
+    assert (row["doc_id"], row["span_start"], row["span_end"], row["n_windows"]) == (9, 6, 8, 1)
+
+
 def test_simhash_properties(token_df):
     codes = {r["doc_id"]: r["simhash"] for r in dedup.simhash(token_df).collect()}
     assert len(codes) == 5

@@ -408,6 +408,53 @@ SELECT DISTINCT doc_id, fp FROM wmins WHERE h_tail IS NOT NULL
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 "ExactSubstr"
+    relationally): maximal token ranges whose every 5-token window
+    occurs earlier in the corpus — the keeper (globally first)
+    occurrence survives, every other occurrence is reported as a
+    removable span.  Bit-exact vs the SQL oracle via the portable
+    md5-prefix window hash."""
+    from watertower_spark.operators.dedup import duplicate_spans
+
+    t = tokens(spark, sf_dir).where(F.col("doc_id") < 300)
+    return duplicate_spans(t, L=5)
+
+
+ORACLE_DUPLICATE_SPANS = TOK_CTE + """
+, win AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', term, lead(term, 1) OVER w, lead(term, 2) OVER w,
+                        lead(term, 3) OVER w, lead(term, 4) OVER w) AS wstr,
+         lead(term, 4) OVER w AS lastt
+  FROM tok WHERE doc_id < 300
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), wh AS (
+  SELECT doc_id, pos, substr(md5(wstr), 1, 16) AS h
+  FROM win WHERE lastt IS NOT NULL
+), rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM wh
+), rem AS (SELECT doc_id, pos FROM rk WHERE cnt >= 2 AND rn >= 2),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS b
+  FROM rem
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
     baseline), computed in double precision on both sides."""
@@ -751,6 +798,7 @@ QUERIES: dict = {
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),

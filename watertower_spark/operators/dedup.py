@@ -8,6 +8,11 @@ All operate on the tokenized (doc_id, pos, term) stream or raw documents:
 - simhash              — 64-bit SimHash fingerprint per doc
 - simhash_near_pairs   — Hamming-distance pairs via 4-segment pigeonhole
                          blocking (at most one shuffle per segment)
+- duplicate_spans      — exact duplicated-substring spans (the
+                         "ExactSubstr" dedup of Lee et al. 2022,
+                         re-expressed relationally: L-token window
+                         hashes → global keeper per window → non-keeper
+                         occurrences merged into maximal spans)
 
 Scale notes: every candidate-generation step is a groupBy/join on a
 bounded key (band hash, hash segment) — never a full cross join.  Skewed
@@ -218,6 +223,77 @@ def winnow_fingerprints(tokens: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
         .where(F.col("full").isNotNull())  # complete windows only
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+def duplicate_spans(tokens: DataFrame, L: int = 8) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — maximal token spans
+    whose every L-token window also occurs earlier in the corpus.
+
+    The exact-substring dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022), re-expressed for Spark
+    without the suffix array: any duplicated substring of >= L tokens
+    is a run of duplicated L-token windows, so
+
+    1. hash every L-token window (md5 16-hex prefix — portable, so a
+       SQL oracle reproduces spans bit-exactly; fixed-width shuffle key);
+    2. per window hash, keep the globally first occurrence (min
+       (doc_id, pos) — a map-side-combinable ``min(struct)``, NOT a
+       rank over the hash partition: a boilerplate window shared by
+       millions of docs would make row_number a straggler, while the
+       aggregate pre-combines per task);
+    3. every OTHER occurrence is removable; merge a doc's removable
+       windows into maximal spans with gaps-and-islands (windows at
+       pos and pos' chain when pos' - pos <= L, i.e. the duplicated
+       text is contiguous).
+
+    The output is actionable directly: dropping token ranges
+    [span_start, span_end] from each doc removes every duplicated
+    substring while keeping its first occurrence in the corpus.
+    Spans report token positions (span_end inclusive); a span of
+    n_windows windows covers n_windows + L - 1 tokens when windows
+    chain end-to-end.
+
+    Scale: two shuffles on bounded keys (doc_id for windowing, wh for
+    the keeper aggregate) plus one wh join back (AQE skew-split
+    handles hot boilerplate hashes) and one doc_id exchange for the
+    island merge — no cross join, no Python.
+    """
+    pw = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(pw).alias(f"t{i}") for i in range(1, L)]
+    wins = (
+        tokens.select("doc_id", "pos", *cols)
+        .where(F.col(f"t{L - 1}").isNotNull())
+        .select(
+            "doc_id", "pos",
+            F.substring(
+                F.md5(F.encode(F.concat_ws(" ", "term", *[f"t{i}" for i in range(1, L)]), "utf-8")),
+                1, 16,
+            ).alias("wh"),
+        )
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("cnt"), F.min(F.struct("doc_id", "pos")).alias("keep"))
+        .where(F.col("cnt") >= 2)
+    )
+    removable = (
+        wins.join(dup, "wh")
+        .where(~((F.col("doc_id") == F.col("keep.doc_id")) & (F.col("pos") == F.col("keep.pos"))))
+        .select("doc_id", "pos")
+    )
+    isl = removable.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(pw) <= L, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("isl", F.sum("brk").over(pw.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
     )
 
 
