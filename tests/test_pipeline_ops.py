@@ -112,6 +112,26 @@ def test_duplicate_spans_exact_substr(spark):
     assert len(out) == 2
 
 
+def test_strip_duplicate_spans_cleaned_corpus(spark):
+    """Applying the spans yields the cleaned corpus: duplicated ranges
+    cut, keeper and untouched docs pass through whole."""
+    shared = ["the", "quick", "brown", "fox", "jumps", "over"]
+    docs = {
+        0: shared + ["zebra", "one"],
+        1: ["alpha", "beta"] + shared + ["gamma"],
+        3: ["totally", "unique", "words", "here"],
+    }
+    rows = [(d, p, t) for d, ts in docs.items() for p, t in enumerate(ts)]
+    tok = spark.createDataFrame(rows, "doc_id int, pos int, term string")
+    spans = dedup.duplicate_spans(tok, L=3)
+    out = {r["doc_id"]: r for r in dedup.strip_duplicate_spans(tok, spans).collect()}
+    assert out[0]["clean_text"] == " ".join(docs[0])          # keeper whole
+    assert out[1]["clean_text"] == "alpha beta gamma"         # span cut
+    assert out[1]["kept_tokens"] == 3
+    assert out[3]["clean_text"] == " ".join(docs[3])          # untouched
+    assert len(out) == 3
+
+
 def test_duplicate_spans_within_doc_repeat(spark):
     """A substring repeated inside ONE doc: the first occurrence is the
     keeper, the second is reported."""

@@ -421,7 +421,9 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(t, L=5)
 
 
-ORACLE_DUPLICATE_SPANS = TOK_CTE + """
+# Shared CTE chain computing the removable spans (used by the span
+# report AND the cleaned-corpus query — one definition, no drift).
+_SPAN_CTES = """
 , win AS (
   SELECT doc_id, pos,
          concat_ws(' ', term, lead(term, 1) OVER w, lead(term, 2) OVER w,
@@ -447,11 +449,41 @@ brk AS (
   SELECT doc_id, pos,
          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
   FROM brk
+), spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 4 AS BIGINT) AS span_end,
+         count(*) AS n_windows
+  FROM isl GROUP BY doc_id, g
 )
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 4 AS BIGINT) AS span_end,
-       count(*) AS n_windows
-FROM isl GROUP BY doc_id, g
+"""
+
+ORACLE_DUPLICATE_SPANS = TOK_CTE + _SPAN_CTES + """
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+def q_dedup_clean(spark, sf_dir):
+    """End-to-end ExactSubstr application: drop every token covered by
+    a removable span and reconstruct each doc's cleaned text — the
+    actual training-corpus output of the dedup pass.  Docs without
+    duplicated substrings pass through whole."""
+    from watertower_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    t = tokens(spark, sf_dir).where(F.col("doc_id") < 300)
+    return strip_duplicate_spans(t, duplicate_spans(t, L=5))
+
+
+ORACLE_DEDUP_CLEAN = TOK_CTE + _SPAN_CTES + """
+, kept AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM tok t
+  WHERE t.doc_id < 300 AND NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+)
+SELECT doc_id, count(*) AS kept_tokens,
+       string_agg(term, ' ' ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc_id
 """
 
 
@@ -799,6 +831,7 @@ QUERIES: dict = {
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "dedup_clean": (q_dedup_clean, ORACLE_DEDUP_CLEAN),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),

@@ -297,6 +297,36 @@ def duplicate_spans(tokens: DataFrame, L: int = 8) -> DataFrame:
     )
 
 
+def strip_duplicate_spans(tokens: DataFrame, spans: DataFrame) -> DataFrame:
+    """Apply ``duplicate_spans`` output: drop every token covered by a
+    removable span and reconstruct each document's cleaned text.
+
+    Returns (doc_id, kept_tokens, clean_text) for every input doc —
+    docs without spans pass through with their full text.  The range
+    predicate rides the doc_id equi-join (per-doc span lists are short,
+    so the post-join filter is cheap and stays co-partitioned); text
+    reassembly is one groupBy with codegen'd array ops, no Python.
+    """
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = tokens.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("kept_tokens"),
+            F.array_join(F.transform("ts", lambda s: s.term), " ").alias("clean_text"),
+        )
+    )
+
+
 def simhash(tokens: DataFrame, n_bits: int = 64) -> DataFrame:
     """(doc_id, simhash long): weighted majority of per-term hash bits.
 
