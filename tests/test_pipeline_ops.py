@@ -143,6 +143,35 @@ def test_duplicate_spans_within_doc_repeat(spark):
     assert (row["doc_id"], row["span_start"], row["span_end"], row["n_windows"]) == (9, 6, 8, 1)
 
 
+def test_url_canonicalization_edges(spark):
+    from watertower_spark.operators import weburl
+
+    rows = [
+        (0, "HTTPS://Ex.COM:443/A/B?z=1&utm_campaign=x&a=2#frag"),
+        (1, "http://ex.com:8080/"),           # non-default port kept
+        (2, "https://ex.com:80/p"),           # :80 is NOT https' default
+        (3, "http://ex.com?utm_source=a&ref=b"),  # tracking-only query
+        (4, "not a url at all"),              # passthrough, null host
+        (5, "ftp://Files.Ex.com/x"),          # other scheme: no port rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    out = {r["doc_id"]: r for r in weburl.canonicalize_urls(df).collect()}
+    assert out[0]["canon_url"] == "https://ex.com/A/B?a=2&z=1"
+    assert out[0]["host"] == "ex.com"
+    assert out[1]["canon_url"] == "http://ex.com:8080/"
+    assert out[2]["canon_url"] == "https://ex.com:80/p"
+    assert out[3]["canon_url"] == "http://ex.com/"
+    assert out[4]["canon_url"] == "not a url at all" and out[4]["host"] is None
+    assert out[5]["canon_url"] == "ftp://files.ex.com/x"
+
+    counts = {r["host"]: r for r in weburl.host_doc_counts(df).collect()}
+    # non-default ports are part of the host identity
+    assert counts["ex.com"]["n_docs"] == 2 and counts["ex.com"]["n_unique_urls"] == 2
+    assert counts["ex.com:8080"]["n_docs"] == 1
+    assert counts["ex.com:80"]["n_docs"] == 1
+    assert None not in counts  # non-URL rows excluded
+
+
 def test_simhash_properties(token_df):
     codes = {r["doc_id"]: r["simhash"] for r in dedup.simhash(token_df).collect()}
     assert len(codes) == 5

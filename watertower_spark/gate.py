@@ -487,6 +487,45 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_url_canon(spark, sf_dir):
+    """CC-pipeline URL canonicalization: a deterministic messy URL is
+    synthesized per doc_id (mixed case, default ports, tracking params,
+    unsorted query, fragment) and normalized by
+    ``weburl.canonicalize_urls``.  The oracle derives the EXPECTED
+    canonical form from first principles (not by re-running the same
+    parsing), so it independently checks every rule: scheme/host
+    lowercase, :80/:443 strip, utm_*/fbclid removal, param sort,
+    fragment drop, empty-path → '/'."""
+    from watertower_spark.operators.weburl import canonicalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 500)
+    messy = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END,"
+            " '://WWW.Example', CAST(doc_id % 7 AS STRING), '.COM',"
+            " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END,"
+            " CASE WHEN doc_id % 3 = 0 THEN '' ELSE concat('/Path/', CAST(doc_id AS STRING)) END,"
+            " '?utm_source=feed&b=2&a=1',"
+            " CASE WHEN doc_id % 5 = 0 THEN '&fbclid=XYZ' ELSE '' END,"
+            " '#Frag')"
+        ).alias("url"),
+    )
+    return canonicalize_urls(messy).select("doc_id", "canon_url", "host")
+
+
+ORACLE_URL_CANON = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       || '://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+       || (CASE WHEN doc_id % 3 = 0 THEN '/'
+                ELSE '/Path/' || CAST(doc_id AS VARCHAR) END)
+       || '?a=1&b=2' AS canon_url,
+       'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+FROM documents WHERE doc_id < 500
+"""
+
+
 def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
     baseline), computed in double precision on both sides."""
@@ -832,6 +871,7 @@ QUERIES: dict = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "dedup_clean": (q_dedup_clean, ORACLE_DEDUP_CLEAN),
+    "url_canon": (q_url_canon, ORACLE_URL_CANON),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
