@@ -226,7 +226,9 @@ def winnow_fingerprints(tokens: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
     )
 
 
-def duplicate_spans(tokens: DataFrame, L: int = 8) -> DataFrame:
+def duplicate_spans(
+    tokens: DataFrame, L: int = 8, persist_windows: bool = False
+) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows) — maximal token spans
     whose every L-token window also occurs earlier in the corpus.
 
@@ -257,7 +259,11 @@ def duplicate_spans(tokens: DataFrame, L: int = 8) -> DataFrame:
     Scale: two shuffles on bounded keys (doc_id for windowing, wh for
     the keeper aggregate) plus one wh join back (AQE skew-split
     handles hot boilerplate hashes) and one doc_id exchange for the
-    island merge — no cross join, no Python.
+    island merge — no cross join, no Python.  The window relation
+    feeds BOTH join sides, so Catalyst re-derives it twice from the
+    token stream (a narrow, map-only recompute); pass
+    ``persist_windows=True`` to trade executor memory for the second
+    pass on very wide corpora.
     """
     pw = Window.partitionBy("doc_id").orderBy("pos")
     cols = [F.col("term")] + [F.lead("term", i).over(pw).alias(f"t{i}") for i in range(1, L)]
@@ -272,6 +278,8 @@ def duplicate_spans(tokens: DataFrame, L: int = 8) -> DataFrame:
             ).alias("wh"),
         )
     )
+    if persist_windows:
+        wins = wins.persist()
     dup = (
         wins.groupBy("wh")
         .agg(F.count("*").alias("cnt"), F.min(F.struct("doc_id", "pos")).alias("keep"))
