@@ -356,6 +356,34 @@ def test_streaming_ingest(spark, tmp_index_root):
     assert load_manifest(idx)["doc_count"] == 7
 
 
+def test_streaming_stateful_dedup(spark, tmp_index_root):
+    """applyInPandasWithState first-seen dedup: duplicates are dropped
+    within a batch, across micro-batches, AND across separate drains
+    (state store resumed from the checkpoint)."""
+    from watertower_spark.streaming.dedup_stream import drain_first_seen
+
+    base = f"{tmp_index_root}/sdd"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    schema = "url string, text string"
+    rows1 = [("u1", "alpha beta"), ("u2", "gamma delta"), ("u3", "alpha beta")]
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(in_dir)
+    drain_first_seen(spark, in_dir, out_dir, ckpt, schema)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 2
+    assert {r.text for r in out.collect()} == {"alpha beta", "gamma delta"}
+
+    # second drain, separate query: a re-delivered duplicate and a new doc
+    rows2 = [("u4", "alpha beta"), ("u5", "epsilon zeta")]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+    drain_first_seen(spark, in_dir, out_dir, ckpt, schema)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 3  # only the new doc got through
+    assert {r.text for r in out2.collect()} == {
+        "alpha beta", "gamma delta", "epsilon zeta"
+    }
+
+
 def test_shard_metrics_externalize_at_scale(spark, tmp_index_root, monkeypatch):
     """At 10^12-doc scale the manifest cannot inline (or driver-collect)
     per-shard metrics for 10^5-10^8 shards; past the threshold they go
