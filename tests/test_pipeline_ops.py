@@ -143,6 +143,18 @@ def test_duplicate_spans_within_doc_repeat(spark):
     assert (row["doc_id"], row["span_start"], row["span_end"], row["n_windows"]) == (9, 6, 8, 1)
 
 
+def test_rrf_fuse_semantics(spark):
+    """An id ranked in BOTH lists outscores a single-list leader:
+    1/(60+2) + 1/(60+3) > 1/(60+1)."""
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(20, 1), (11, 2), (99, 3)], "doc_id int, rank int")
+    out = similarity.rrf_fuse([a, b], k=60, topk=4).collect()
+    assert out[0]["doc_id"] == 11
+    assert abs(out[0]["rrf"] - (1 / 62 + 1 / 62)) < 1e-6
+    # the two rank-1 singles tie at 1/61 → doc_id ascending breaks it
+    assert [r["doc_id"] for r in out[1:3]] == [10, 20]
+
+
 def test_url_canonicalization_edges(spark):
     from watertower_spark.operators import weburl
 

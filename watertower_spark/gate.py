@@ -189,13 +189,14 @@ GROUP BY doc_id HAVING count(DISTINCT term) = {len(_SCORE_TERMS)}
 _BM25_TERMS = ("filter", "scan")
 
 
-def q_bm25_topk(spark, sf_dir):
-    """AND query, BM25(k1=1.2,b=0.75), top-10 by rounded score (Q6/Q8)."""
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score): rounded BM25 AND-scores for _BM25_TERMS (no
+    ordering/limit — shared by the top-k and hybrid-fusion gates)."""
     tf, df, n = _tf_df(spark, sf_dir, _BM25_TERMS)
     t = tokens(spark, sf_dir)
     wc = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
     avgdl = wc.agg(F.avg("dl")).collect()[0][0]
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(wc, "doc_id")
         .withColumn(
@@ -210,10 +211,16 @@ def q_bm25_topk(spark, sf_dir):
         .agg(F.round(F.sum("s"), 6).alias("score"), F.countDistinct("term").alias("nt"))
         .where(F.col("nt") == len(_BM25_TERMS))
         .select("doc_id", "score")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """AND query, BM25(k1=1.2,b=0.75), top-10 by rounded score (Q6/Q8)."""
+    return (
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
-    return scored
 
 
 ORACLE_BM25_TOPK = TOK_CTE + f"""
@@ -526,9 +533,9 @@ FROM documents WHERE doc_id < 500
 """
 
 
-def q_embedding_knn(spark, sf_dir):
-    """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
-    baseline), computed in double precision on both sides."""
+def _cosine_scored(spark, sf_dir):
+    """(vec_id, cos): rounded cosine vs vec_id=0 (no ordering/limit —
+    shared by the kNN and hybrid-fusion gates)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pe = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
     q = pe.where(F.col("vec_id") == 0).select("i", F.col("x").cast("double").alias("y"))
@@ -543,9 +550,87 @@ def q_embedding_knn(spark, sf_dir):
                 4,
             ).alias("cos")
         )
+    )
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (similarity search
+    baseline), computed in double precision on both sides."""
+    return (
+        _cosine_scored(spark, sf_dir)
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval: BM25 top-50 and cosine top-50
+    fused by reciprocal-rank fusion (1/(60+rank), ranks from rounded
+    scores with doc_id tie-breaks so both sides rank identically).
+    The modern RAG-retrieval pattern as one oracled relational query."""
+    from pyspark.sql import Window
+
+    from watertower_spark.operators.similarity import rrf_fuse
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+        )
+    )
+    dense = (
+        _cosine_scored(spark, sf_dir)
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())),
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    return rrf_fuse([lex, dense], k=60, topk=10)
+
+
+ORACLE_HYBRID_RRF = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), wc AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * ({BM25_K1} + 1.0) * tf
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+  FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(_BM25_TERMS)}
+  ORDER BY score DESC, doc_id ASC LIMIT 50
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+), cs AS (
+  SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cos
+  FROM pairs GROUP BY vec_id
+  ORDER BY cos DESC, vec_id ASC LIMIT 50
+), csr AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r FROM cs
+), u AS (
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM csr
+)
+SELECT doc_id, round(sum(c), 6) AS rrf
+FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
 
 
 ORACLE_EMBEDDING_KNN = """
@@ -872,6 +957,7 @@ QUERIES: dict = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "dedup_clean": (q_dedup_clean, ORACLE_DEDUP_CLEAN),
     "url_canon": (q_url_canon, ORACLE_URL_CANON),
+    "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),

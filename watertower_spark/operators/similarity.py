@@ -238,3 +238,36 @@ def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
     cand_ids = codes.join(F.broadcast(qb), ["table", "bucket"]).select("vec_id").distinct()
     cand = emb.join(cand_ids, "vec_id")
     return cosine_topk_arrow(cand, query_vec.tolist() if hasattr(query_vec, "tolist") else query_vec, k)
+
+
+def rrf_fuse(ranked: list, k: int = 60, id_col: str = "doc_id",
+             rank_col: str = "rank", topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists.
+
+    Each input DataFrame carries (id_col, rank_col) with rank starting
+    at 1; the fused score is Σ 1/(k + rank) over the lists an id
+    appears in, rounded to 6 so ordering is float-stable, ties broken
+    by id.  The standard lexical+dense hybrid-retrieval combiner: it
+    needs only ranks, so BM25 and cosine scores never have to be
+    calibrated against each other.
+
+    Scale: inputs are per-query top-k lists (tens to hundreds of
+    rows), so the union + groupBy is a trivially small job regardless
+    of corpus size — fusion cost is independent of N docs.
+    """
+    contribs = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("c"),
+        )
+        for df in ranked
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("c"), 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
