@@ -8,6 +8,8 @@
 - lsh_bucketed_knn    — random-hyperplane LSH buckets as the approximate
                         scale path: candidates share >= 1 of n_tables
                         bucket codes; exact cosine re-rank of candidates
+- rrf_fuse            — reciprocal-rank fusion of N ranked lists (the
+                        lexical+dense hybrid-retrieval combiner)
 
 Scale: brute force is O(N·d) per query — fine fanned out over
 partitions for one query, wrong for query batches; the LSH path bounds
