@@ -1,9 +1,12 @@
-"""HTTP ``_search`` surface (webapi/restapi/handlers.go:92-183): a real
-server round trip — ThreadingHTTPServer on an ephemeral port, stdlib
-urllib client — over a real index, checking the reference's routing
-contract (404 unknown index, 400 non-unique_key q=, unique_key lookup,
-bool-DSL phrase search) and that the DSL path returns exactly what the
-engine's parity search returns."""
+"""HTTP surface (webapi/restapi/handlers.go): real server round trips —
+ThreadingHTTPServer on an ephemeral port, stdlib urllib client — over a
+real index.  Covers the reference's routing contract (404 unknown index,
+400 non-unique_key q=, unique_key lookup, bool-DSL phrase search, the
+DSL path returning exactly what the engine's parity search returns) and
+the document CRUD half (handlers.go:16-79, 185-258): POST create →
+GET _doc/_source → searchable → PUT update → DELETE → gone, plus the
+id-parse quirks (GET/PUT hex `d<hex>` vs DELETE decimal) and their
+400/404 messages."""
 
 import json
 import shutil
@@ -114,6 +117,140 @@ def test_bool_dsl_matches_engine_parity(served):
     assert got == want and got
     assert body["hits"]["total"]["value"] == len(want)
     assert body["timed_out"] is False and "took" in body
+
+
+def _req(url, method, body=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"}, method=method,
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_doc_get_parse_and_miss_contract(served):
+    """GET _doc/_source mirror handlers.go:23-79: id[1:] parsed as hex
+    (any first char), 400 on garbage, 404 found:false / message on miss."""
+    base, _ = served
+    code, body = _get(f"{base}/indexes/default/_doc/zzz")
+    assert code == 400
+    assert body["message"] == "parse error id 'zzz' of index 'default'"
+    code, body = _get(f"{base}/indexes/default/_doc/dffffff0")
+    assert code == 404
+    assert body["found"] is False and body["_source"] is None
+    assert body["_id"] == "dffffff0" and body["_type"] == "_doc"
+    code, body = _get(f"{base}/indexes/default/_source/dffffff0")
+    assert code == 404
+    assert body["message"] == (
+        "document id 'dffffff0' in index 'default' is not found")
+    code, body = _get(f"{base}/indexes/nope/_doc/d1")
+    assert code == 404 and body["message"] == "index 'nope' is not found"
+
+
+def test_doc_get_matches_search_source(served):
+    """GET _doc returns the same _source the _search path materializes."""
+    base, eng = served
+    key = urllib.parse.quote("unique_key:fixture://search/200 OK")
+    _, sr = _get(f"{base}/indexes/default/_search?q={key}")
+    hit = sr["hits"]["hits"][0]
+    code, body = _get(f"{base}/indexes/default/_doc/{hit['_id']}")
+    assert code == 200 and body["found"] is True
+    assert body["_source"] == hit["_source"]
+    code, src = _get(f"{base}/indexes/default/_source/{hit['_id']}")
+    assert code == 200 and src == hit["_source"]
+
+
+def test_delete_decimal_id_quirk(served):
+    """DELETE parses ids as DECIMAL (handlers.go:247) — a d-prefixed id
+    is a parse error here, and an unknown id is the can't-remove 400."""
+    base, _ = served
+    code, body = _req(f"{base}/indexes/default/_doc/d1", "DELETE")
+    assert code == 400
+    assert body["message"] == "parse error id 'd1' of index 'default'"
+    code, body = _req(f"{base}/indexes/default/_doc/4009999", "DELETE")
+    assert code == 400
+    assert body["message"] == (
+        "can't remove document id '4009999' of index 'default':"
+        " document is not found")
+
+
+@pytest.fixture()
+def crud_served(spark, tmp_index_root):
+    """Function-scoped server over its own index — CRUD tests mutate it."""
+    rows = corpus.fixture_rows(("searchdata",))
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA,
+    )
+    tags = spark.createDataFrame(
+        [(r["url"], r["tags"]) for r in rows], schema=corpus.TAG_SCHEMA
+    )
+    idx = f"{tmp_index_root}/http_crud"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=3, default_lang="en")
+    server = make_server({"default": SearchEngine(spark, idx)})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_document_crud_lifecycle(crud_served):
+    """POST → GET → search → PUT → GET → DELETE → 404, over HTTP only
+    (handlers.go:185-258 + the swagger-documented PUT extension)."""
+    base = crud_served
+    doc = {
+        "unique_key": "crud://zebra/1", "lang": "en",
+        "title": "Zebra chronicle",
+        "content": "A zebraquark gallops through the index pipeline.",
+        "tags": ["CrudTag"],
+    }
+    code, body = _req(f"{base}/indexes/default/_doc", "POST", doc)
+    assert code == 200
+    assert body["result"] == "created" and body["_type"] == "_doc"
+    doc_id = body["_id"]
+    assert doc_id.startswith("d")
+    num = int(doc_id[1:], 16)
+
+    code, got = _get(f"{base}/indexes/default/_doc/{doc_id}")
+    assert code == 200 and got["found"] is True
+    assert got["_source"]["unique_key"] == doc["unique_key"]
+    assert got["_source"]["title"] == doc["title"]
+    assert got["_source"]["content"] == doc["content"]
+
+    dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "zebraquark"}}}}}}
+    code, sr = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    assert [h["_id"] for h in sr["hits"]["hits"]] == [doc_id]
+
+    # PUT with a contradicting unique_key → 400; matching → updated
+    code, body = _req(f"{base}/indexes/default/_doc/{doc_id}", "PUT",
+                      {**doc, "unique_key": "crud://other"})
+    assert code == 400 and "does not match" in body["message"]
+    upd = {**doc, "content": "Now the zebraquark vanished into a wormhole."}
+    code, body = _req(f"{base}/indexes/default/_doc/{doc_id}", "PUT", upd)
+    assert code == 200 and body["result"] == "updated"
+    code, got = _get(f"{base}/indexes/default/_source/{doc_id}")
+    assert code == 200 and got["content"] == upd["content"]
+    # unknown id → 404 (ids are engine-allocated; PUT cannot mint one)
+    code, body = _req(f"{base}/indexes/default/_doc/dffffff0", "PUT", upd)
+    assert code == 404
+
+    code, body = _req(f"{base}/indexes/default/_doc/{num}", "DELETE")
+    assert code == 200
+    assert body == {"_index": "default", "_id": str(num)}
+    code, got = _get(f"{base}/indexes/default/_doc/{doc_id}")
+    assert code == 404 and got["found"] is False
+    code, sr = _post(f"{base}/indexes/default/_search", dsl)
+    assert sr["hits"]["hits"] == []
+    # POST missing unique_key → 400
+    code, body = _req(f"{base}/indexes/default/_doc", "POST", {"title": "x"})
+    assert code == 400 and body["message"] == "unique_key is required"
 
 
 def test_invalid_json_body_400(served):

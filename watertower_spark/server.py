@@ -1,40 +1,72 @@
-"""HTTP ``_search`` surface over SearchEngine (stdlib only).
+"""HTTP surface over SearchEngine (stdlib only) — the reference's full
+REST API (webapi/restapi/handlers.go, embedded_spec.go):
 
-The reference serves ``GET|POST /indexes/{index}/_search``
-(webapi/restapi/handlers.go:92-183) behind go-swagger.  This module
-re-expresses that surface with ``http.server`` so a driver process can
-serve searches with zero extra dependencies — closing the one
-process-boundary gap SURVEY §3.3 had scoped out:
+- ``GET|POST /indexes/{index}/_search`` (handlers.go:92-183):
+  ``?q=unique_key:<key>`` exact-key lookup (any other ``q=`` syntax is a
+  400 with the reference's message, handlers.go:101-105); request body
+  ``{"query": {"bool": {"must": {"match_phrase": {"content": {"query":
+  ..., "analyzer": ...}}}, "filter": {"terms": {"tags": [...]}}}}`` — the
+  ES-ish DSL (search word from match_phrase.content.query, lang from its
+  analyzer, tag filter from filter.terms.tags, handlers.go:146-156).
+- ``GET /indexes/{index}/_doc/{id}`` (handlers.go:16-56): id is
+  ``d<hex>`` (the reference parses ``id[1:]`` as hex uint32 — mirrored
+  exactly, including accepting any first character); found → the
+  ES get-doc body (_id/_index/_source/_type/_version/found), miss →
+  404 with ``found: false``.
+- ``GET /indexes/{index}/_source/{id}`` (handlers.go:58-79): the raw
+  Document model only; miss → 404
+  ``{"message": "document id '<id>' in index '<i>' is not found"}``.
+- ``POST /indexes/{index}/_doc`` (handlers.go:201-238): create-or-
+  replace by the body's unique_key (PostDocument semantics) via
+  maintenance.upsert_documents; responds with the reference's
+  ModifyResponse (models/modify_response.go: _id = ``d<hex>``,
+  result "created" — the reference says "created" even on replace).
+- ``PUT /indexes/{index}/_doc/{id}`` (handlers.go:185-199): the
+  reference validates index + id then returns 501 NotImplemented; we
+  keep its validation contract (404 unknown index, 400 unparseable id)
+  and — as a documented extension — implement the swagger-documented
+  update: re-index the body under the EXISTING doc's unique_key
+  (result "updated"); a body unique_key that contradicts the id's doc
+  is a 400, an unknown id is a 404 (ids are engine-allocated, so PUT
+  cannot create at an arbitrary id).
+- ``DELETE /indexes/{index}/_doc/{id}`` (handlers.go:240-258): id is
+  DECIMAL here (the reference uses ParseUint(id, 10, 32), unlike GET's
+  hex form — quirk mirrored); removal failures are 400 with the
+  reference's message shape, success echoes ``{_index, _id}``.
 
-- ``?q=unique_key:<key>`` — exact-key lookup; any other ``q=`` syntax
-  is a 400 with the reference's message (handlers.go:101-105);
-- request body ``{"query": {"bool": {"must": {"match_phrase":
-  {"content": {"query": ..., "analyzer": ...}}}, "filter": {"terms":
-  {"tags": [...]}}}}`` — the ES-ish DSL the reference accepts: search
-  word from match_phrase.content.query, lang from its analyzer, tag
-  filter from filter.terms.tags (handlers.go:146-156);
-- unknown index — 404 ``{"message": "index '<i>' is not found"}``;
-- responses are the ES-shaped payload from operators/response.py
-  (took/hits/max_score/total), built from the same engine searches the
-  batch paths use.
-
-The DSL path defaults to the reference Search() semantics
-(mode='parity', TF-IDF ascending); ``?mode=bm25`` opts into the
-flagship scorer — an extension, clearly not part of reference parity.
+Unknown index on any route — 404 ``{"message": "index '<i>' is not
+found"}``.  Search responses are the ES-shaped payload from
+operators/response.py; the DSL path defaults to reference Search()
+semantics (mode='parity', TF-IDF ascending) and ``?mode=bm25`` opts
+into the flagship scorer (extension).
 
 Serving happens on the Spark DRIVER (the engine's DataFrame handles
-live there); a ThreadingHTTPServer maps naturally onto Spark's
-thread-safe job submission, and FAIR scheduling (see bench_scaling)
-keeps concurrent queries from convoying.
+live there) on a ThreadingHTTPServer.  Each request thread sets its own
+``spark.scheduler.pool`` (thread-local under PySpark pinned-thread
+mode), so with ``spark.scheduler.mode=FAIR`` concurrent queries run in
+sibling fair pools instead of convoying through one FIFO queue; under
+the default FIFO mode the property is inert.  Pool names reuse the
+thread ident, so the scheduler's pool registry stays bounded by peak
+concurrency, not request count.
+
+Mutations (POST/PUT/DELETE) are serialized per index by a server-side
+threading.Lock — the on-disk lease's in-process re-entrancy means two
+threads of ONE process would both pass it — and the engine snapshot is
+swapped atomically after each successful mutation, so every later
+request sees the new index version.  A lease held by ANOTHER process
+maps to 423 Locked.  In-flight searches keep the pre-mutation engine;
+they may fail if the mutation's GC removes a table version mid-read
+(the documented single-writer trade, operators/maintenance.py).
 """
 
 from __future__ import annotations
 
 import json
+import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .operators.response import search_response
+from .operators.response import _source_doc, search_response
 
 
 def _parse_dsl(body: dict) -> tuple:
@@ -52,8 +84,27 @@ def _parse_dsl(body: dict) -> tuple:
     return search_word, tags, lang
 
 
+def _parse_hex_id(doc_id: str) -> int | None:
+    """The reference's GET-side id parse (handlers.go:23): strip the
+    FIRST character (whatever it is) and parse the rest as hex uint32."""
+    try:
+        v = int(doc_id[1:], 16)
+    except (ValueError, IndexError):
+        return None
+    return v if 0 <= v <= 0xFFFFFFFF and doc_id[1:] else None
+
+
+def _doc_text(body: dict) -> str:
+    """Document model → stored text, the inverse of
+    analyzers.split_title_body (title, blank line, content)."""
+    title = body.get("title") or ""
+    content = body.get("content") or ""
+    return f"{title}\n\n{content}" if content else title
+
+
 class _Handler(BaseHTTPRequestHandler):
-    engines: dict = {}  # index name -> SearchEngine (bound by make_server)
+    engines: dict = {}       # index name -> SearchEngine (bound by make_server)
+    mut_locks: dict = {}     # index name -> threading.Lock (bound by make_server)
 
     def log_message(self, *args):  # tests/services don't want stderr spam
         pass
@@ -66,42 +117,237 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _route(self, body: dict | None) -> None:
+    # ------------------------------------------------------------ routing
+
+    def _route(self, method: str, body: dict | None) -> None:
         parsed = urllib.parse.urlparse(self.path)
-        parts = [p for p in parsed.path.split("/") if p]
-        if len(parts) != 3 or parts[0] != "indexes" or parts[2] != "_search":
+        parts = [urllib.parse.unquote(p) for p in parsed.path.split("/") if p]
+        if len(parts) < 3 or parts[0] != "indexes":
             self._send(404, {"message": f"no route for {parsed.path!r}"})
             return
-        index = urllib.parse.unquote(parts[1])
+        index, verb = parts[1], parts[2]
         eng = self.engines.get(index)
         if eng is None:
             self._send(404, {"message": f"index '{index}' is not found"})
             return
+        # Per-request FAIR pool: thread-local under pinned-thread mode,
+        # so concurrent requests land in sibling pools (see module doc).
+        eng.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"wt-req-{threading.get_ident()}"
+        )
+        try:
+            if verb == "_search" and len(parts) == 3:
+                self._search(index, eng, parsed, body)
+            elif verb == "_doc" and len(parts) == 4 and method == "GET":
+                self._get_doc(index, eng, parts[3])
+            elif verb == "_source" and len(parts) == 4 and method == "GET":
+                self._get_source(index, eng, parts[3])
+            elif verb == "_doc" and len(parts) == 3 and method == "POST":
+                self._post_doc(index, eng, body)
+            elif verb == "_doc" and len(parts) == 4 and method == "PUT":
+                self._put_doc(index, eng, parts[3], body)
+            elif verb == "_doc" and len(parts) == 4 and method == "DELETE":
+                self._delete_doc(index, eng, parts[3])
+            else:
+                self._send(404, {"message": f"no route for {parsed.path!r}"})
+        except Exception as exc:  # surface engine errors as JSON, not a hang
+            from .operators.maintenance import IndexLockedError
+
+            if isinstance(exc, IndexLockedError):
+                self._send(423, {"message": str(exc)[:500]})
+            else:
+                self._send(500, {"message": str(exc)[:500]})
+
+    # ------------------------------------------------------------- search
+
+    def _search(self, index, eng, parsed, body) -> None:
         query = urllib.parse.parse_qs(parsed.query)
         q = query.get("q", [None])[0]
-        try:
-            if q is not None:
-                if not q.startswith("unique_key:"):
-                    self._send(400, {
-                        "message": "q= query only supports searching unique_key"
-                    })
-                    return
-                self._send(200, search_response(
-                    eng, q, mode="parity", k=None, index_name=index))
+        if q is not None:
+            if not q.startswith("unique_key:"):
+                self._send(400, {
+                    "message": "q= query only supports searching unique_key"
+                })
                 return
-            search_word, tags, lang = _parse_dsl(body)
-            mode = query.get("mode", ["parity"])[0]
-            k = int(query.get("k", [0])[0]) or (10 if mode == "bm25" else None)
             self._send(200, search_response(
-                eng, search_word, tags, lang=lang, mode=mode, k=k,
-                index_name=index))
-        except Exception as exc:  # surface engine errors as JSON, not a hang
-            self._send(500, {"message": str(exc)[:500]})
+                eng, q, mode="parity", k=None, index_name=index))
+            return
+        search_word, tags, lang = _parse_dsl(body)
+        mode = query.get("mode", ["parity"])[0]
+        k = int(query.get("k", [0])[0]) or (10 if mode == "bm25" else None)
+        self._send(200, search_response(
+            eng, search_word, tags, lang=lang, mode=mode, k=k,
+            index_name=index))
 
-    def do_GET(self) -> None:  # noqa: N802 (http.server API)
-        self._route(None)
+    # ----------------------------------------------------------- doc GETs
 
-    def do_POST(self) -> None:  # noqa: N802
+    def _fetch(self, eng, num_id: int):
+        rows = eng.get_doc(num_id).collect()
+        return rows[0] if rows else None
+
+    def _get_doc(self, index, eng, doc_id: str) -> None:
+        num = _parse_hex_id(doc_id)
+        if num is None:
+            self._send(400, {
+                "message": f"parse error id '{doc_id}' of index '{index}'"
+            })
+            return
+        row = self._fetch(eng, num)
+        base = {"_id": doc_id, "_index": index, "_type": "_doc",
+                "_version": 0, "_primary_term": 0, "_seq_no": 0}
+        if row is None:
+            self._send(404, {**base, "_source": None, "found": False})
+            return
+        self._send(200, {**base, "_source": _source_doc(row), "found": True})
+
+    def _get_source(self, index, eng, doc_id: str) -> None:
+        num = _parse_hex_id(doc_id)
+        if num is None:
+            self._send(400, {
+                "message": f"parse error id '{doc_id}' of index '{index}'"
+            })
+            return
+        row = self._fetch(eng, num)
+        if row is None:
+            self._send(404, {
+                "message":
+                    f"document id '{doc_id}' in index '{index}' is not found"
+            })
+            return
+        self._send(200, _source_doc(row))
+
+    # -------------------------------------------------------- doc writes
+
+    def _mutation_frames(self, eng, body: dict, url: str):
+        """One-row (docs, tags) DataFrames in the index's stored shape."""
+        from .sources.corpus import DOC_SCHEMA, TAG_SCHEMA
+
+        spark = eng.spark
+        docs = spark.createDataFrame(
+            [(url, None, None, _doc_text(body), body.get("lang") or "")],
+            schema=DOC_SCHEMA,
+        )
+        tags = body.get("tags")
+        tags_df = (
+            spark.createDataFrame([(url, [str(t) for t in tags])],
+                                  schema=TAG_SCHEMA)
+            if tags else None
+        )
+        return docs, tags_df
+
+    def _refresh(self, index, eng):
+        """Swap in a fresh engine snapshot after a mutation (the engine
+        memoizes manifest + term stats at load)."""
+        from .operators.search import SearchEngine
+
+        new_eng = SearchEngine(eng.spark, eng.index_dir)
+        self.engines[index] = new_eng
+        return new_eng
+
+    def _doc_id_of(self, eng, url: str) -> int | None:
+        from pyspark.sql import functions as F
+
+        hit = (
+            eng.spark.read.parquet(eng._doc_map_path)
+            .where(F.col("url") == url).limit(1).collect()
+        )
+        return int(hit[0]["doc_id"]) if hit else None
+
+    def _post_doc(self, index, eng, body: dict) -> None:
+        from .operators.maintenance import upsert_documents
+
+        body = body or {}
+        url = body.get("unique_key")
+        if not url:
+            self._send(400, {"message": "unique_key is required"})
+            return
+        try:
+            with self.mut_locks[index]:
+                docs, tags_df = self._mutation_frames(eng, body, url)
+                upsert_documents(eng.spark, eng.index_dir, docs, tags_df)
+                eng = self._refresh(index, eng)
+        except Exception as exc:
+            from .operators.maintenance import IndexLockedError
+
+            if isinstance(exc, IndexLockedError):
+                raise
+            self._send(500, {
+                "message": f"Post document error on index '{index}': {exc}"
+            })
+            return
+        num = self._doc_id_of(eng, url)
+        self._send(200, {
+            "_id": f"d{num:x}" if num is not None else "",
+            "_index": index, "_primary_term": 0, "_seq_no": 0,
+            "_shards": None, "_type": "_doc", "_version": 0,
+            "result": "created",
+        })
+
+    def _put_doc(self, index, eng, doc_id: str, body: dict) -> None:
+        from .operators.maintenance import upsert_documents
+
+        num = _parse_hex_id(doc_id)
+        if num is None:
+            self._send(400, {
+                "message": f"parse error id '{doc_id}' of index '{index}'"
+            })
+            return
+        body = body or {}
+        with self.mut_locks[index]:
+            row = self._fetch(eng, num)
+            if row is None:
+                self._send(404, {
+                    "message":
+                        f"document id '{doc_id}' in index '{index}'"
+                        " is not found"
+                })
+                return
+            url = body.get("unique_key") or row["url"]
+            if url != row["url"]:
+                self._send(400, {
+                    "message":
+                        f"unique_key '{url}' does not match document id"
+                        f" '{doc_id}' of index '{index}'"
+                })
+                return
+            docs, tags_df = self._mutation_frames(eng, body, url)
+            upsert_documents(eng.spark, eng.index_dir, docs, tags_df)
+            self._refresh(index, eng)
+        self._send(200, {
+            "_id": doc_id, "_index": index, "_primary_term": 0,
+            "_seq_no": 0, "_shards": None, "_type": "_doc",
+            "_version": 0, "result": "updated",
+        })
+
+    def _delete_doc(self, index, eng, doc_id: str) -> None:
+        from .operators.maintenance import remove_documents
+
+        try:  # reference quirk: DELETE ids are DECIMAL (handlers.go:247)
+            num = int(doc_id, 10)
+            if not (0 <= num <= 0xFFFFFFFF):
+                raise ValueError(doc_id)
+        except ValueError:
+            self._send(400, {
+                "message": f"parse error id '{doc_id}' of index '{index}'"
+            })
+            return
+        with self.mut_locks[index]:
+            row = self._fetch(eng, num)
+            if row is None:
+                self._send(400, {
+                    "message":
+                        f"can't remove document id '{doc_id}' of index"
+                        f" '{index}': document is not found"
+                })
+                return
+            urls = eng.spark.createDataFrame([(row["url"],)], "url string")
+            remove_documents(eng.spark, eng.index_dir, urls)
+            self._refresh(index, eng)
+        self._send(200, {"_index": index, "_id": doc_id})
+
+    # ---------------------------------------------------------- dispatch
+
+    def _with_body(self, method: str) -> None:
         n = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(n) if n else b""
         try:
@@ -109,7 +355,19 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError:
             self._send(400, {"message": "request body is not valid JSON"})
             return
-        self._route(body)
+        self._route(method, body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        self._route("GET", None)
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._with_body("POST")
+
+    def do_PUT(self) -> None:  # noqa: N802
+        self._with_body("PUT")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        self._route("DELETE", None)
 
 
 def make_server(engines: dict, host: str = "127.0.0.1",
@@ -119,5 +377,8 @@ def make_server(engines: dict, host: str = "127.0.0.1",
     (``server.server_address[1]``).  Callers run
     ``server.serve_forever()`` — typically on a daemon thread next to
     the driver — and ``server.shutdown()`` to stop."""
-    handler = type("WatertowerHandler", (_Handler,), {"engines": dict(engines)})
+    handler = type("WatertowerHandler", (_Handler,), {
+        "engines": dict(engines),
+        "mut_locks": {name: threading.Lock() for name in engines},
+    })
     return ThreadingHTTPServer((host, port), handler)
