@@ -658,3 +658,57 @@ def eng_rows(spark, idx):
     return [
         (r["url"],) for r in eng.search("response", None, "en").collect()
     ]
+
+
+def test_streaming_then_compaction_lifecycle(spark, tmp_index_root):
+    """Round-4 verdict #7: the full streaming story composed end to end —
+    K one-doc micro-batch drains (foreachBatch → append, one underfilled
+    shard each) → compact_index → the index answers BM25/parity/tag
+    searches identically to a fresh batch build of the same corpus, and
+    the shard layout is dense again."""
+    from watertower_spark.operators.maintenance import compact_index
+    from watertower_spark.streaming.incremental import ingest_available
+
+    rows = corpus.fixture_rows(("searchdata",))
+    tag_lookup = {r["url"]: r["tags"] for r in rows}
+    docs, tags = _mkdocs(spark, rows[:3])
+    idx = f"{tmp_index_root}/stream_compact"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=3)  # shard 0: full
+
+    def tags_fn(batch_df):
+        pairs = [(r["url"], tag_lookup[r["url"]])
+                 for r in batch_df.select("url").collect()]
+        return spark.createDataFrame(pairs, schema=corpus.TAG_SCHEMA)
+
+    stream_dir = f"{tmp_index_root}/stream_compact_in"
+    ckpt = f"{tmp_index_root}/stream_compact_ckpt"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    for i in range(3, 7):  # 4 drains, one doc each → shards 1..4 sparse
+        d, _ = _mkdocs(spark, rows[i:i + 1])
+        d.coalesce(1).write.mode("append").parquet(stream_dir)
+        assert ingest_available(spark, stream_dir, idx, ckpt, tags_fn) == 1
+    assert load_manifest(idx)["doc_count"] == 7
+
+    out = compact_index(spark, idx)
+    assert out["compacted_shards"] == [1, 2, 3, 4]
+    assert out["docs_moved"] == 4
+    for s in (1, 2, 3, 4):
+        assert not os.path.exists(f"{idx}/postings/shard={s}")
+
+    ref_idx = f"{tmp_index_root}/stream_compact_ref"
+    shutil.rmtree(ref_idx, ignore_errors=True)
+    ref_docs, ref_tags = _mkdocs(spark, rows)
+    build_index(ref_docs, ref_tags, ref_idx, docs_per_shard=3)
+    eng, ref = SearchEngine(spark, idx), SearchEngine(spark, ref_idx)
+    assert load_manifest(idx)["avgdl"] == pytest.approx(
+        load_manifest(ref_idx)["avgdl"], rel=1e-12)
+    for q, tg, mode in (("request", None, "bm25"), ("request", None, "parity"),
+                        ("response", ["NoBody"], "parity"),
+                        ("post", None, "bm25")):
+        got = [(r["url"], round(r["score"], 9))
+               for r in eng.search(q, tg, "en", mode=mode, k=10).collect()]
+        want = [(r["url"], round(r["score"], 9))
+                for r in ref.search(q, tg, "en", mode=mode, k=10).collect()]
+        assert got == want, (q, tg, mode)

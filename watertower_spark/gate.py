@@ -473,7 +473,9 @@ def q_dedup_clean(spark, sf_dir):
     """End-to-end ExactSubstr application: drop every token covered by
     a removable span and reconstruct each doc's cleaned text — the
     actual training-corpus output of the dedup pass.  Docs without
-    duplicated substrings pass through whole."""
+    duplicated substrings pass through whole; fully-duplicated docs
+    surface as kept_tokens=0 rows (the oracle's left join mirrors the
+    operator's doc-set restore)."""
     from watertower_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
 
     t = tokens(spark, sf_dir).where(F.col("doc_id") < 300)
@@ -487,10 +489,16 @@ ORACLE_DEDUP_CLEAN = TOK_CTE + _SPAN_CTES + """
   WHERE t.doc_id < 300 AND NOT EXISTS (
     SELECT 1 FROM spans s
     WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+), rebuilt AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(term, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id, count(*) AS kept_tokens,
-       string_agg(term, ' ' ORDER BY pos) AS clean_text
-FROM kept GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(r.kept_tokens, 0) AS kept_tokens,
+       coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM tok WHERE doc_id < 300) d
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
 

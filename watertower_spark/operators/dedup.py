@@ -116,6 +116,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     seed: int = 7,
+    carry_hsets: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (da, db, jaccard) with jaccard >= threshold.
 
@@ -133,30 +134,45 @@ def minhash_lsh_pairs(
     three narrow shuffles (doc groupBy, band-bucket exchange, pair
     dedup), with NO pair×shingle expansion anywhere (the r1
     boilerplate-explosion class of failure is structurally impossible).
-    The band exchange carries each doc's hset once per band; at CC
-    scale that is bands× the shingle bytes, the deliberate trade for
-    eliminating two verification joins against a second token-stream
-    pass.
+    The band exchange carries each doc's hset once per band
+    (``carry_hsets=True``, the default); at CC scale that is bands× the
+    shingle bytes, the trade for eliminating two verification joins
+    against a second token-stream pass.  ``carry_hsets=False`` selects
+    the candidates-then-fetch plan instead: the band exchange ships
+    only (doc_id, band, bucket) and the deduped candidate pairs fetch
+    both hsets via two joins (``_exact_jaccard_sets``) — cheaper on the
+    exchange, one extra token-stream derivation.  Same pairs, same
+    jaccard values, measured head-to-head in bench_minhash_ab.py.
     """
     rows_per_band = n_hashes // bands
-    sig = _signatures_from_sets(_shingle_sets(tokens, k), n_hashes, seed, keep_hset=True)
+    hs = _shingle_sets(tokens, k)
+    sig = _signatures_from_sets(hs, n_hashes, seed, keep_hset=carry_hsets)
     band_cols = F.array(
         *[
             F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
             for i in range(bands)
         ]
     )
-    # one exploded (doc_id, hset, band, bucket) relation → ONE self-join
-    # on (band, bucket) replaces a join per band (fewer stages, same pairs)
-    banded = sig.select("doc_id", "hset", F.posexplode(band_cols).alias("band", "bucket"))
+    # one exploded (doc_id[, hset], band, bucket) relation → ONE
+    # self-join on (band, bucket) replaces a join per band (fewer
+    # stages, same pairs)
+    carry = ["hset"] if carry_hsets else []
+    banded = sig.select("doc_id", *carry, F.posexplode(band_cols).alias("band", "bucket"))
     sized = banded.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bsz") <= max_bucket).drop("bsz")
-    pairs = (
+    joined = (
         sized.alias("x")
         .join(sized.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
+    )
+    if not carry_hsets:
+        cand = joined.select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        ).distinct()  # a pair can collide in several bands
+        return _exact_jaccard_sets(cand, hs, threshold)
+    pairs = (
+        joined.select(
             F.col("x.doc_id").alias("da"),
             F.col("y.doc_id").alias("db"),
             F.col("x.hset").alias("ha"),
@@ -310,10 +326,14 @@ def strip_duplicate_spans(tokens: DataFrame, spans: DataFrame) -> DataFrame:
     removable span and reconstruct each document's cleaned text.
 
     Returns (doc_id, kept_tokens, clean_text) for every input doc —
-    docs without spans pass through with their full text.  The range
-    predicate rides the doc_id equi-join (per-doc span lists are short,
-    so the post-join filter is cheap and stays co-partitioned); text
-    reassembly is one groupBy with codegen'd array ops, no Python.
+    docs without spans pass through with their full text, and a doc
+    whose tokens are ALL covered by removable spans (e.g. a verbatim
+    re-post of earlier text) still gets a row with kept_tokens=0 and
+    empty clean_text (the anti-join alone would silently drop it; the
+    doc set is restored with one distinct + left join, ADVICE r4).  The
+    range predicate rides the doc_id equi-join (per-doc span lists are
+    short, so the post-join filter is cheap and stays co-partitioned);
+    text reassembly is one groupBy with codegen'd array ops, no Python.
     """
     sp = spans.select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
@@ -324,13 +344,22 @@ def strip_duplicate_spans(tokens: DataFrame, spans: DataFrame) -> DataFrame:
         & F.col("pos").between(F.col("span_start"), F.col("span_end")),
         "left_anti",
     )
-    return (
+    rebuilt = (
         kept.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("ts"))
         .select(
             "doc_id",
             F.size("ts").cast("long").alias("kept_tokens"),
             F.array_join(F.transform("ts", lambda s: s.term), " ").alias("clean_text"),
+        )
+    )
+    return (
+        tokens.select("doc_id").distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 
@@ -359,20 +388,46 @@ def simhash(tokens: DataFrame, n_bits: int = 64) -> DataFrame:
     return agg.select("doc_id", code.alias("simhash"))
 
 
-def simhash_near_pairs(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(tokens: DataFrame, max_hamming: int = 3,
+                       max_bucket: int = 1000,
+                       return_dropped: bool = False):
     """Pairs with Hamming(simhash) <= max_hamming via pigeonhole blocking:
     split 64 bits into (max_hamming+1) segments — any near pair collides
     on at least one full segment, so candidate generation is a join per
-    segment, never a cross join."""
+    segment, never a cross join.
+
+    Segment values larger than ``max_bucket`` docs are DROPPED before the
+    self-join, exactly like ``minhash_lsh_pairs`` /
+    ``embedding_near_dup_pairs``: boilerplate-heavy corpora concentrate
+    simhashes (and short/empty docs collapse to the same code), so one
+    hot segment value would otherwise produce an O(n²) pair explosion at
+    CC scale.  Exact duplicates belong to ``exact_duplicates`` (one
+    groupBy, no pair expansion) — the cap trades only recall on
+    near-but-not-identical members of degenerate clusters.  Pass
+    ``return_dropped=True`` to also get a (segment, seg, n_docs)
+    DataFrame of the dropped buckets so the loss is observable (callers
+    log/count it) instead of silent.
+    """
     codes = simhash(tokens)
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
-    cand = None
+    bw = Window.partitionBy("seg")
+    cand, dropped = None, None
     for s in range(n_seg):
         seg = F.shiftrightunsigned("simhash", s * seg_bits).bitwiseAND(
             F.lit((1 << seg_bits) - 1)
         ).alias("seg")
-        cs = codes.select("doc_id", "simhash", seg)
+        cs = codes.select("doc_id", "simhash", seg).withColumn(
+            "bsz", F.count("*").over(bw)
+        )
+        d = (
+            cs.where(F.col("bsz") > max_bucket)
+            .groupBy("seg")
+            .agg(F.max("bsz").cast("long").alias("n_docs"))
+            .select(F.lit(s).alias("segment"), "seg", "n_docs")
+        )
+        dropped = d if dropped is None else dropped.unionByName(d)
+        cs = cs.where(F.col("bsz") <= max_bucket).drop("bsz")
         p = (
             cs.alias("x")
             .join(cs.alias("y"), "seg")
@@ -385,9 +440,10 @@ def simhash_near_pairs(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         )
         cand = p if cand is None else cand.unionByName(p)
-    return (
+    pairs = (
         cand.distinct()
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("da", "db", "hamming")
     )
+    return (pairs, dropped) if return_dropped else pairs

@@ -360,6 +360,11 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) - 1:
+            # entropy data ran out without a trailing marker (T.81 decoders
+            # must see EOI/RSTn); keep the exception type consistent for
+            # direct callers — Spark pipelines catch Exception either way
+            raise ValueError("truncated JPEG entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -440,6 +445,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them so a filler 0xFF is never read as a
+        # marker code of 0xFF with a bogus length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

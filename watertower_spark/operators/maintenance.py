@@ -690,7 +690,8 @@ def vacuum_index(index_dir: str, remove_stale_lease: bool = False) -> dict:
 
 
 def compact_index(spark: SparkSession, index_dir: str,
-                  min_fill: float = 0.5) -> dict:
+                  min_fill: float = 0.5,
+                  max_shards_per_pass: int = 256) -> dict:
     """Merge underfilled shards by re-appending their docs densely.
 
     ``append_documents`` starts every batch at a fresh shard boundary so
@@ -713,8 +714,15 @@ def compact_index(spark: SparkSession, index_dir: str,
     A shard is sparse when it holds fewer than ``min_fill *
     docs_per_shard`` docs; compaction runs only when at least two
     qualify (re-appending a single shard would just renumber it).
-    Returns {"compacted_shards": [...], "docs_moved": N, "n_shards":
-    manifest value} — a no-op returns compacted_shards=[].
+    Each invocation moves at most the ``max_shards_per_pass``
+    SPARSEST shards — the shard-count aggregation stays distributed
+    and only the bounded winner set is collected, so neither the
+    driver result nor the isin() pruning literal grows with the
+    repo's stated 10^5-10^8 shard ceiling (ADVICE r4); callers drain
+    a long backlog by looping until compacted_shards comes back
+    empty.  Returns {"compacted_shards": [...], "docs_moved": N,
+    "n_shards": manifest value} — a no-op returns
+    compacted_shards=[].
     """
     from watertower_spark.functions import fsio
 
@@ -723,11 +731,13 @@ def compact_index(spark: SparkSession, index_dir: str,
         dps = m["docs_per_shard"]
         counts = (
             spark.read.parquet(f"{index_dir}/doc_stats")
-            .groupBy("shard").count().collect()
+            .groupBy("shard").count()
+            .where(F.col("count") < min_fill * dps)
+            .orderBy(F.col("count").asc(), F.col("shard").asc())
+            .limit(max_shards_per_pass)
+            .collect()
         )
-        sparse = sorted(
-            int(r["shard"]) for r in counts if r["count"] < min_fill * dps
-        )
+        sparse = sorted(int(r["shard"]) for r in counts)
         if len(sparse) < 2:
             return {"compacted_shards": [], "docs_moved": 0,
                     "n_shards": m["n_shards"]}

@@ -199,6 +199,49 @@ def auto_n_planes(n_vectors: int, target_bucket: int = 32,
     return max(lo, min(hi, int(math.log2(max(n_vectors / max(target_bucket, 1), 2.0)))))
 
 
+_NVEC_CACHE: dict = {}
+
+
+def resolve_n_vectors(emb: DataFrame) -> int:
+    """Corpus cardinality WITHOUT a per-query count job.
+
+    A bare parquet scan (no filter/join in the plan) answers from the
+    file footers' row counts — a driver-side pyarrow read of metadata
+    already resident in the page cache, zero Spark jobs.  Anything else
+    falls back to ONE ``count()``.  Either way the answer is memoized
+    (keyed by the scan's file set, or the plan object for non-scans), so
+    a service issuing many queries against the same corpus pays the
+    resolution once, not per search (round-4 verdict #4)."""
+    import re
+
+    files = tuple(sorted(emb.inputFiles()))
+    plan = emb._jdf.queryExecution().analyzed().toString()
+    # expression ids (#123L) differ between otherwise-identical reads of
+    # the same path — normalize them out so re-reads share a cache entry,
+    # while a FILTERED scan over the same files still keys differently
+    key = (files, re.sub(r"#\d+", "", plan))
+    if key in _NVEC_CACHE:
+        return _NVEC_CACHE[key]
+    n = None
+    if files and all(f.endswith(".parquet") for f in files):
+        # footer counts are exact only for an unfiltered scan; any
+        # Filter/Join/Aggregate in the plan changes the cardinality
+        if not any(op in plan for op in ("Filter", "Join", "Aggregate")):
+            try:
+                import pyarrow.parquet as pq
+
+                n = sum(
+                    pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+                    for f in files
+                )
+            except Exception:
+                n = None
+    if n is None:
+        n = emb.count()
+    _NVEC_CACHE[key] = n
+    return n
+
+
 def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
                      n_planes: int | None = None, n_tables: int = 4,
                      seed: int = 11, multiprobe: int = 1,
@@ -210,12 +253,12 @@ def lsh_bucketed_knn(emb: DataFrame, query_vec: list, k: int = 10,
     re-rank of candidates only.
 
     ``n_planes=None`` derives the plane count from the corpus size
-    (``n_vectors``, counted if not supplied — parquet sources answer
-    that from footer metadata) so bucket occupancy lands near the
-    target regardless of scale."""
+    (``n_vectors``; resolved job-free from parquet footer metadata and
+    memoized when not supplied — ``resolve_n_vectors``) so bucket
+    occupancy lands near the target regardless of scale."""
     if n_planes is None:
         if n_vectors is None:
-            n_vectors = emb.count()
+            n_vectors = resolve_n_vectors(emb)
         n_planes = auto_n_planes(n_vectors)
     q = np.asarray(query_vec, dtype=np.float64)
     dim = q.shape[0]

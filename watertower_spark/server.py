@@ -105,6 +105,7 @@ def _doc_text(body: dict) -> str:
 class _Handler(BaseHTTPRequestHandler):
     engines: dict = {}       # index name -> SearchEngine (bound by make_server)
     mut_locks: dict = {}     # index name -> threading.Lock (bound by make_server)
+    fair_pools: bool = True  # per-request scheduler pools (bound by make_server)
 
     def log_message(self, *args):  # tests/services don't want stderr spam
         pass
@@ -130,11 +131,12 @@ class _Handler(BaseHTTPRequestHandler):
         if eng is None:
             self._send(404, {"message": f"index '{index}' is not found"})
             return
-        # Per-request FAIR pool: thread-local under pinned-thread mode,
-        # so concurrent requests land in sibling pools (see module doc).
-        eng.spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"wt-req-{threading.get_ident()}"
-        )
+        if self.fair_pools:
+            # Per-request FAIR pool: thread-local under pinned-thread mode,
+            # so concurrent requests land in sibling pools (see module doc).
+            eng.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"wt-req-{threading.get_ident()}"
+            )
         try:
             if verb == "_search" and len(parts) == 3:
                 self._search(index, eng, parsed, body)
@@ -371,14 +373,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(engines: dict, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, fair_pools: bool = True) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer serving ``engines``
     ({index_name: SearchEngine}).  ``port=0`` binds an ephemeral port
     (``server.server_address[1]``).  Callers run
     ``server.serve_forever()`` — typically on a daemon thread next to
-    the driver — and ``server.shutdown()`` to stop."""
+    the driver — and ``server.shutdown()`` to stop.  ``fair_pools``
+    exists for A/B measurement (bench_server_qps.py) — leave it on in
+    services."""
     handler = type("WatertowerHandler", (_Handler,), {
         "engines": dict(engines),
         "mut_locks": {name: threading.Lock() for name in engines},
+        "fair_pools": fair_pools,
     })
     return ThreadingHTTPServer((host, port), handler)
