@@ -160,6 +160,66 @@ def test_strip_duplicate_spans_fully_covered_doc(spark):
     assert out[9]["clean_text"] == " ".join(docs[9])
 
 
+def test_remove_frequent_lines(spark):
+    """C4/CCNet boilerplate-line removal: shared lines at/over the
+    min_docs threshold go, unique lines stay in original order, and a
+    doc made ENTIRELY of boilerplate keeps an empty row."""
+    banner = "accept all cookies"
+    rows = [
+        (0, f"{banner}\nzero unique alpha\nfooter co\nzero tail"),
+        (1, f"{banner}\none unique beta\nfooter co"),
+        (2, f"{banner}\nfooter co"),                 # all boilerplate
+        (3, "solo doc line\nsolo second line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_frequent_lines(
+        df, min_docs=3).collect()}
+    assert len(out) == 4
+    assert out[0]["clean_text"] == "zero unique alpha\nzero tail"
+    assert out[0]["kept_lines"] == 2 and out[0]["removed_lines"] == 2
+    assert out[1]["clean_text"] == "one unique beta"
+    assert out[2]["clean_text"] == "" and out[2]["kept_lines"] == 0
+    assert out[2]["removed_lines"] == 2
+    assert out[3]["clean_text"] == "solo doc line\nsolo second line"
+    assert out[3]["removed_lines"] == 0
+
+
+def test_remove_frequent_lines_counts_distinct_docs(spark):
+    """A line repeated WITHIN one doc counts once toward min_docs (the
+    threshold is distinct-document frequency, not occurrences), and all
+    its copies share one fate."""
+    rows = [
+        (0, "dup line\ndup line\nkeep me"),
+        (1, "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_frequent_lines(
+        df, min_docs=2).collect()}
+    # 'dup line' appears in only ONE distinct doc -> kept, both copies
+    assert out[0]["clean_text"] == "dup line\ndup line\nkeep me"
+    assert out[0]["removed_lines"] == 0
+    assert out[1]["clean_text"] == "other text"
+
+
+def test_bigram_lm_perplexity_hand_computed(spark):
+    """MLE bigram model over ['a b a b', 'a b c']: p(b|a)=1,
+    p(a|b)=p(c|b)=1/2, so ppl(doc0)=2^(1/3), ppl(doc1)=sqrt(2).
+    Docs with < 2 tokens have no bigram and are not scored."""
+    import math
+
+    from watertower_spark.operators.quality import bigram_lm_perplexity
+
+    rows = [(0, p, t) for p, t in enumerate("a b a b".split())]
+    rows += [(1, p, t) for p, t in enumerate("a b c".split())]
+    rows += [(2, 0, "solo")]
+    tok = spark.createDataFrame(rows, "doc_id int, pos int, term string")
+    out = {r["doc_id"]: r for r in bigram_lm_perplexity(tok).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["ppl"] - 2 ** (1 / 3)) < 1e-9
+    assert abs(out[1]["ppl"] - math.sqrt(2)) < 1e-9
+
+
 def test_duplicate_spans_within_doc_repeat(spark):
     """A substring repeated inside ONE doc: the first occurrence is the
     keeper, the second is reported."""

@@ -333,6 +333,33 @@ FROM documents
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: self-trained MLE bigram model,
+    per-doc perplexity (operators/quality.py).  The oracle recomputes
+    the same statistic with SQL window functions + aggregates."""
+    from watertower_spark.operators.quality import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(tokens(spark, sf_dir), round_to=4)
+
+
+ORACLE_LM_PPL = TOK_CTE + """
+, big AS (
+  SELECT doc_id, term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+), b2 AS (
+  SELECT doc_id, term, nxt FROM big WHERE nxt IS NOT NULL
+), p AS (
+  SELECT term, nxt, CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY term) AS p
+  FROM b2 GROUP BY term, nxt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(ln(p.p))), 4) AS ppl
+FROM b2 JOIN p USING (term, nxt)
+GROUP BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 300.
     (Window/threshold chosen so the oracle compares NON-empty result
@@ -538,6 +565,141 @@ SELECT doc_id,
        || '?a=1&b=2' AS canon_url,
        'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
 FROM documents WHERE doc_id < 500
+"""
+
+
+def _doc_html(docs):
+    """Deterministic raw-HTML page per doc: comment, script (containing
+    a fake close tag and a bare '<'), style, entities, uppercase block
+    tags, and two links — every extraction rule is exercised."""
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit('<!DOCTYPE html><html><head><title>Doc '), did,
+                F.lit(' &amp; Friends</title><style>p { color: red; }</style>'
+                      '<script type="text/javascript">if (1 < 2) { alert("</div>"); }</script>'
+                      '</head><body><!-- hidden --><h1>Doc '), did,
+                F.lit('</h1><p>'), F.col("text"),
+                F.lit('</p><P>Tail &lt;b&gt; &quot;quoted&quot;&nbsp;end</P>'
+                      '<a href="https://example.com/'), did,
+                F.lit('?x=1">link</a> <a href=\'http://foo.org/a\'>two</a></body></html>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (the input_hint's html->text step):
+    deterministic raw HTML is synthesized per doc around the corpus
+    text, then ``webhtml`` extracts title/body/links from the BINARY
+    payload.  The oracle DERIVES the expected outputs from first
+    principles (it never parses the HTML), so comment/script/style
+    removal, block-break newlines, tag stripping, entity decoding,
+    whitespace normalization, and href extraction are each
+    independently checked."""
+    from watertower_spark.operators.webhtml import (
+        html_links_expr, html_text_expr, html_title_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 500)
+    pages = _doc_html(docs)
+    links = html_links_expr(F.col("html"))
+    return pages.select(
+        "doc_id",
+        html_title_expr(F.col("html")).alias("title"),
+        html_text_expr(F.col("html")).alias("body"),
+        F.size(links).cast("long").alias("n_links"),
+        F.element_at(links, 1).alias("first_link"),
+    )
+
+
+ORACLE_HTML_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & Friends' AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & Friends' || chr(10)
+       || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+       || text || chr(10)
+       || 'Tail <b> "quoted" end' || chr(10)
+       || 'link two' AS body,
+       CAST(2 AS BIGINT) AS n_links,
+       'https://example.com/' || CAST(doc_id AS VARCHAR) || '?x=1' AS first_link
+FROM documents WHERE doc_id < 500
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/CCNet boilerplate-line removal: each doc is synthesized as 4
+    lines — a universal cookie banner (500 docs), a unique content line,
+    a per-host copyright footer (100 docs), and a 2-doc group badge.
+    At min_docs=50 exactly the banner and the footer must go.  The
+    oracle derives the expected cleaned text, kept and removed counts
+    from first principles (it never counts lines itself)."""
+    from watertower_spark.operators.dedup import remove_frequent_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    syn = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE please accept our cookies\nDOC "), did,
+            F.lit(" "), F.col("text"),
+            F.lit("\ncopyright host "), (F.col("doc_id") % 5).cast("string"),
+            F.lit("\ngroup badge "), (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    return remove_frequent_lines(syn, min_docs=50)
+
+
+ORACLE_LINE_DEDUP = """
+SELECT doc_id,
+       'DOC ' || CAST(doc_id AS VARCHAR) || ' ' || text || chr(10)
+       || 'group badge ' || CAST(doc_id % 250 AS VARCHAR) AS clean_text,
+       CAST(2 AS BIGINT) AS kept_lines,
+       CAST(2 AS BIGINT) AS removed_lines
+FROM documents WHERE doc_id < 500
+"""
+
+
+def q_host_links(spark, sf_dir):
+    """Host-level link graph over synthesized pages: each doc lives on
+    host h<doc_id%5>.com and links to example.com, foo.org, and a
+    relative path (which resolves to its own host).  The oracle derives
+    the 15 expected edges and their exact counts from first
+    principles."""
+    from watertower_spark.operators.webhtml import host_link_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 500)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><a href="https://example.com/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">a</a><a href="http://foo.org/b?z=1">b</a>'
+                      '<a href="/local/c">c</a></body></html>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return host_link_edges(pages).orderBy("src_host", "dst_host")
+
+
+ORACLE_HOST_LINKS = """
+WITH hosts AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS src_host, count(*) AS n
+  FROM documents WHERE doc_id < 500 GROUP BY 1
+)
+SELECT src_host, dst_host, n AS n_links FROM hosts
+CROSS JOIN (VALUES ('example.com'), ('foo.org')) AS d(dst_host)
+UNION ALL
+SELECT src_host, src_host AS dst_host, n AS n_links FROM hosts
 """
 
 
@@ -965,6 +1127,10 @@ QUERIES: dict = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "dedup_clean": (q_dedup_clean, ORACLE_DEDUP_CLEAN),
     "url_canon": (q_url_canon, ORACLE_URL_CANON),
+    "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
+    "host_links": (q_host_links, ORACLE_HOST_LINKS),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PPL),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),

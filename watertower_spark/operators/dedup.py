@@ -8,6 +8,9 @@ All operate on the tokenized (doc_id, pos, term) stream or raw documents:
 - simhash              — 64-bit SimHash fingerprint per doc
 - simhash_near_pairs   — Hamming-distance pairs via 4-segment pigeonhole
                          blocking (at most one shuffle per segment)
+- remove_frequent_lines — C4/CCNet boilerplate-line removal (lines in
+                         >= min_docs distinct docs dropped; two-phase
+                         countDistinct + one skew-safe join)
 - duplicate_spans      — exact duplicated-substring spans (the
                          "ExactSubstr" dedup of Lee et al. 2022,
                          re-expressed relationally: L-token window
@@ -360,6 +363,55 @@ def strip_duplicate_spans(tokens: DataFrame, spans: DataFrame) -> DataFrame:
             "doc_id",
             F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_docs: int = 10,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4/CCNet-style boilerplate-line removal: drop every line that
+    occurs in at least ``min_docs`` DISTINCT documents (cookie banners,
+    nav menus, copyright footers — the dominant noise in raw web text;
+    Raffel et al. 2020 §2.2 dedups three-sentence spans, Wenzek et al.
+    2020 §3.1 dedups paragraph hashes — this is the line-granular form).
+
+    Returns (doc_col, clean_text, kept_lines, removed_lines) with one
+    row for EVERY input doc — a doc whose lines are all boilerplate
+    keeps its row with clean_text='' (the strip_duplicate_spans lesson,
+    ADVICE r4).
+
+    Physical plan: explode lines (narrow) → two-phase countDistinct per
+    line (partial aggregation collapses each task's repeats before the
+    exchange) → one shuffle join of the line stream against the counts
+    (build side has ONE row per key, so a 10^9-doc cookie-banner line
+    skews partition balance but can never explode — AQE skew-split
+    handles the balance) → per-doc order-preserving reassembly in one
+    codegen'd array aggregate.  Key space = distinct lines, far below
+    token count; no Python anywhere.
+    """
+    lines = docs.select(
+        F.col(doc_col), F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line")
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct(doc_col).alias("nd"))
+    marked = lines.join(freq, "line").withColumn("keep", F.col("nd") < min_docs)
+    return (
+        marked.groupBy(doc_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+            ).alias("ks"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("removed_lines"),
+        )
+        .select(
+            doc_col,
+            F.array_join(F.transform("ks", lambda s: s.line), line_sep).alias("clean_text"),
+            F.size("ks").cast("long").alias("kept_lines"),
+            "removed_lines",
         )
     )
 
