@@ -812,3 +812,74 @@ def test_auto_n_probe_tracks_cardinality():
     assert auto_n_probe(5000, 8) == 3     # sf0.1: floor of 3 probes
     assert auto_n_probe(10 ** 9, 64) == 3  # web scale: tiny probe fraction
     assert auto_n_probe(100, 8) == 8      # degenerate: probe everything
+
+
+def test_redact_pii_crafted(spark):
+    from watertower_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+tag@sub.example.co.uk and alice@x.io today"),
+        (2, "server at 192.168.0.1 and 10.0.255.7 no mail"),
+        (3, "call +1 (415) 555-0132 or 555-123-4567 asap"),
+        (4, "nothing personal here at all"),
+        (5, "combo a@b.org 127.0.0.1 tel 555-867-5309 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ipv4"] == 0 and out[1]["n_phones"] == 0
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> today"
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_phones"] == 0
+    assert out[2]["clean_text"] == "server at <IP> and <IP> no mail"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> asap"
+    assert out[4]["clean_text"] == rows[3][1]
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[5]["clean_text"] == "combo <EMAIL> <IP> tel <PHONE> end"
+
+
+def test_redact_pii_order_ip_not_eaten_by_phone(spark):
+    """Dotted quads redact as <IP>, never as a phone-ish digit run —
+    the replacement order (email, ip, phone) is load-bearing."""
+    from watertower_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "ping 203.0.113.254 done")], "doc_id int, text string")
+    r = redact_pii(df).collect()[0]
+    assert r["clean_text"] == "ping <IP> done"
+    assert r["n_ipv4"] == 1 and r["n_phones"] == 0
+
+
+def test_gopher_quality_signals_hand_computed(spark):
+    from watertower_spark.operators.quality import gopher_quality_signals
+
+    good = " ".join(["word"] * 60) + "\nsecond line of plain prose here"
+    dup_lines = "same line\nsame line\nsame line\nunique one"
+    listy = "- one\n- two\n- three\nprose..."
+    rows = [(1, good), (2, dup_lines), (3, listy)]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_signals(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    g = out[1]
+    assert g["n_words"] == 66 and g["n_lines"] == 2
+    assert g["frac_alpha_words"] == 1.0 and g["dup_line_frac"] == 0.0
+    assert g["mean_word_len"] == round((60 * 4 + len("secondlineofplainprosehere")) / 66, 4)
+    assert g["gopher_flag"] is True
+    d = out[2]
+    assert d["n_lines"] == 4 and d["dup_line_frac"] == 0.5
+    assert d["gopher_flag"] is False  # dup lines AND < 50 words
+    l = out[3]
+    assert l["frac_bullet_lines"] == 0.75
+    assert l["frac_ellipsis_lines"] == 0.25
+    assert l["symbol_word_ratio"] == round(1 / 7, 4)
+
+
+def test_gopher_quality_unscoreable_docs_excluded(spark):
+    from watertower_spark.operators.quality import gopher_quality_signals
+
+    rows = [(1, "   \n  \n"), (2, "enough words to score fine")]
+    out = gopher_quality_signals(
+        spark.createDataFrame(rows, "doc_id int, text string")
+    ).collect()
+    assert [r["doc_id"] for r in out] == [2]

@@ -360,6 +360,83 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rules surface-statistics battery (Rae et al. 2021 A1.1):
+    word/line counts, mean word length, alpha-word fraction, symbol
+    ratio, within-doc duplicate-line fraction, bullet/ellipsis line
+    fractions, and the combined keep flag — computed as a zero-shuffle
+    narrow map (operators/quality.py)."""
+    from watertower_spark.operators.quality import gopher_quality_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_signals(docs)
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '') AS lines,
+         text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  round(list_sum(list_transform(words, x -> length(x))) / len(words), 4) AS mean_word_len,
+  round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words), 4) AS frac_alpha_words,
+  round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(words), 4) AS symbol_word_ratio,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  round((len(lines) - len(list_distinct(lines))) / len(lines), 4) AS dup_line_frac,
+  round(len(list_filter(lines, x -> regexp_matches(trim(x), '^([-*•●▪]|[0-9]+[.)]) '))) / len(lines), 4) AS frac_bullet_lines,
+  round(len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / len(lines), 4) AS frac_ellipsis_lines,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+   AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
+   AND dup_line_frac <= 0.3 AND frac_bullet_lines <= 0.9
+   AND frac_ellipsis_lines <= 0.3) AS gopher_flag
+FROM w
+WHERE len(words) > 0 AND len(lines) > 0
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (operators/pii.py) over a corpus with DERIVED ground
+    truth: the synthetic text is digit- and '@'-free (verified at
+    generation), so a per-doc PII suffix built from doc_id alone is
+    the ONLY redactable content — the oracle constructs the expected
+    clean_text and counts from first principles (string concatenation,
+    never re-running the regexes), making a pass certify the actual
+    match boundaries, not just regex-dialect agreement."""
+    from watertower_spark.operators.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    pii_txt = F.concat(
+        F.col("text"),
+        F.lit(" Contact u"), did, F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" cc admin"), did, F.lit("@mail.org"))
+               ).otherwise(F.lit("")),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" now."),
+    )
+    out = redact_pii(docs.select("doc_id", pii_txt.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_phones", "clean_text")
+
+
+ORACLE_PII_REDACT = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_emails,
+       CAST(1 AS BIGINT) AS n_ipv4,
+       CAST(1 AS BIGINT) AS n_phones,
+       text || ' Contact <EMAIL>'
+            || CASE WHEN doc_id % 3 = 0 THEN ' cc <EMAIL>' ELSE '' END
+            || ' from <IP> tel <PHONE> now.' AS clean_text
+FROM documents
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 300.
     (Window/threshold chosen so the oracle compares NON-empty result
@@ -1131,6 +1208,8 @@ QUERIES: dict = {
     "host_links": (q_host_links, ORACLE_HOST_LINKS),
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PPL),
+    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER_QUALITY),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),

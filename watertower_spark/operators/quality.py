@@ -1,5 +1,10 @@
 """Statistical quality scoring for training-data pipelines.
 
+Two standard pre-training quality batteries, both fully relational:
+``gopher_quality_signals`` (Rae et al. 2021 surface statistics, a
+zero-shuffle narrow map) and ``bigram_lm_perplexity`` (the CCNet
+§3.2 LM signal, self-trained).
+
 CCNet (Wenzek et al. 2020, §3.2) ranks Common-Crawl documents by
 language-model perplexity and keeps the low-perplexity head.  The
 environment ships no LM, so ``bigram_lm_perplexity`` implements the
@@ -23,6 +28,94 @@ corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def gopher_quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality signals (Rae et al. 2021, Appendix A1.1).
+
+    The Gopher/MassiveText filter keeps a document only if a battery
+    of cheap surface statistics all land in range; this computes the
+    word- and line-level battery per doc:
+
+    - ``n_words`` / ``mean_word_len`` (keep 50..100k words, mean 3..10)
+    - ``frac_alpha_words`` — words containing at least one alphabetic
+      character (keep >= 0.80)
+    - ``symbol_word_ratio`` — '#' or '...' occurrences per word
+      (keep <= 0.1)
+    - ``n_lines`` / ``dup_line_frac`` — fraction of lines that repeat
+      an earlier line of the SAME doc (keep <= 0.30; within-doc
+      repetition, the complement of the cross-doc
+      ``remove_frequent_lines`` boilerplate pass)
+    - ``frac_bullet_lines`` / ``frac_ellipsis_lines`` — lines starting
+      with a bullet (keep <= 0.90) / ending with an ellipsis
+      (keep <= 0.30)
+    - ``gopher_flag`` — true iff every threshold above passes.
+
+    Everything is higher-order array functions over ``split(text)`` —
+    a zero-shuffle narrow map in whole-stage codegen (no explode, no
+    groupBy: per-doc state never leaves its row), so at crawl scale
+    the filter is a free rider on the ingest scan.  Docs with no
+    words or no lines cannot be scored and are not returned.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    nw = F.size(words).cast("long")
+    nl = F.size(lines).cast("long")
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / nw,
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))) / nw, 4
+    )
+    sym_ratio = F.round(
+        (
+            F.size(F.regexp_extract_all(t, F.lit("#"), F.lit(0)))
+            + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+        )
+        / nw,
+        4,
+    )
+    dup_line = F.round((nl - F.size(F.array_distinct(lines))) / nl, 4)
+    bullet = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).rlike("^([-*•●▪]|[0-9]+[.)]) "),
+            )
+        )
+        / nl,
+        4,
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / nl,
+        4,
+    )
+    out = docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        nl.alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        bullet.alias("frac_bullet_lines"),
+        ellipsis.alias("frac_ellipsis_lines"),
+    ).where((F.col("n_words") > 0) & (F.col("n_lines") > 0))
+    flag = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+    )
+    return out.withColumn("gopher_flag", flag)
 
 
 def bigram_lm_perplexity(tokens: DataFrame, round_to: int | None = None) -> DataFrame:
