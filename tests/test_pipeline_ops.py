@@ -883,3 +883,39 @@ def test_gopher_quality_unscoreable_docs_excluded(spark):
         spark.createDataFrame(rows, "doc_id int, text string")
     ).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_clean_corpus_full_cascade(spark):
+    """The composed cleaning pipeline: boilerplate line removal →
+    gopher filter → PII scrub → exact dedup → minhash near-dedup,
+    each stage's victim chosen to be caught by exactly that stage."""
+    from watertower_spark.operators.pipeline import clean_corpus
+
+    boiler = "subscribe to our newsletter"
+    base = " ".join(f"alpha{i:02d}" for i in range(60))
+    near = " ".join(f"alpha{i:02d}" for i in range(58)) + " swapped words"
+    other = " ".join(f"beta{i:02d}" for i in range(60)) + " contact me bob@x.org please"
+    rows = [
+        (1, boiler + "\n" + base, "en"),       # survives
+        (2, boiler + "\n" + base, "en"),       # exact dup of 1 post-clean
+        (3, near, "en"),                       # near dup of 1 (2 words differ)
+        (4, "short junk\n" + boiler, "en"),    # fails gopher (< 50 words)
+        (5, other, "fr"),                      # survives, PII scrubbed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    # min_line_docs=3: the boilerplate line is in docs 1/2/4; the shared
+    # BODY of docs 1/2 (the exact-dup pair) is in only 2 docs and must
+    # survive the line pass so the exact-dedup stage is the one that
+    # catches doc 2.
+    clean, stages = clean_corpus(docs, min_line_docs=3, near_dup_threshold=0.8)
+
+    assert stages["line_dedup"].count() == 5        # every doc keeps a row
+    assert {r["doc_id"] for r in stages["gopher_filter"].select("doc_id").collect()} == {1, 2, 3, 5}
+    assert {r["doc_id"] for r in stages["exact_dedup"].select("doc_id").collect()} == {1, 3, 5}
+
+    out = {r["doc_id"]: r for r in clean.collect()}
+    assert set(out) == {1, 5}
+    assert boiler not in out[1]["text"] and out[1]["text"] == base
+    assert "<EMAIL>" in out[5]["text"] and "bob@x.org" not in out[5]["text"]
+    assert out[5]["lang"] == "fr"                   # passthrough column kept
+    assert list(clean.columns) == ["doc_id", "lang", "text"]

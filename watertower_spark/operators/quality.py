@@ -62,35 +62,44 @@ def gopher_quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
     nw = F.size(words).cast("long")
     nl = F.size(lines).cast("long")
+    # try_divide, not /: zero-word/zero-line docs are filtered out
+    # below, but ANSI mode (Spark 4 default) evaluates the projection
+    # alongside the filter, so a plain division would still throw.
     mean_wl = F.round(
-        F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        / nw,
+        F.try_divide(
+            F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+            nw,
+        ),
         4,
     )
     frac_alpha = F.round(
-        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))) / nw, 4
+        F.try_divide(F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))), nw), 4
     )
     sym_ratio = F.round(
-        (
+        F.try_divide(
             F.size(F.regexp_extract_all(t, F.lit("#"), F.lit(0)))
-            + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
-        )
-        / nw,
+            + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0))),
+            nw,
+        ),
         4,
     )
-    dup_line = F.round((nl - F.size(F.array_distinct(lines))) / nl, 4)
+    dup_line = F.round(F.try_divide(nl - F.size(F.array_distinct(lines)), nl), 4)
     bullet = F.round(
-        F.size(
-            F.filter(
-                lines,
-                lambda x: F.trim(x).rlike("^([-*•●▪]|[0-9]+[.)]) "),
-            )
-        )
-        / nl,
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda x: F.trim(x).rlike("^([-*•●▪]|[0-9]+[.)]) "),
+                )
+            ),
+            nl,
+        ),
         4,
     )
     ellipsis = F.round(
-        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / nl,
+        F.try_divide(
+            F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))), nl
+        ),
         4,
     )
     out = docs.select(
