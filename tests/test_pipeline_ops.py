@@ -919,3 +919,22 @@ def test_clean_corpus_full_cascade(spark):
     assert "<EMAIL>" in out[5]["text"] and "bob@x.org" not in out[5]["text"]
     assert out[5]["lang"] == "fr"                   # passthrough column kept
     assert list(clean.columns) == ["doc_id", "lang", "text"]
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """'a b a b a b c': top 2-gram 'a b' x3 -> 6/7 chars; top 3-gram
+    'a b a' x2 -> 6/7; top 4-gram 'a b a b' x2 -> 8/7 (overlapping
+    occurrences legitimately exceed 1 on degenerate docs).  A 3-token
+    doc has no 4-gram -> null."""
+    from watertower_spark.operators.quality import ngram_repetition_signals
+
+    toks = [(1, i, t) for i, t in enumerate("a b a b a b c".split())]
+    toks += [(2, i, t) for i, t in enumerate("xx yy zz".split())]
+    tok = spark.createDataFrame(toks, "doc_id int, pos int, term string")
+    out = {r["doc_id"]: r for r in ngram_repetition_signals(tok).collect()}
+    assert out[1]["top_2gram_char_frac"] == round(6 / 7, 4)
+    assert out[1]["top_3gram_char_frac"] == round(6 / 7, 4)
+    assert out[1]["top_4gram_char_frac"] == round(8 / 7, 4)
+    assert out[2]["top_2gram_char_frac"] == round(4 / 6, 4)  # any pair x1, 4 chars
+    assert out[2]["top_3gram_char_frac"] == 1.0
+    assert out[2]["top_4gram_char_frac"] is None

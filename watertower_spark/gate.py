@@ -360,6 +360,63 @@ GROUP BY doc_id
 """
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher's token-level repetition battery: per doc, the character
+    fraction of the most frequent {2,3,4}-gram (operators/quality.py).
+    The oracle recomputes it with SQL window functions; ties on count
+    resolve to the larger char footprint in both engines, and the
+    output depends only on (count, chars) so the tie rule is
+    value-deterministic."""
+    from watertower_spark.operators.quality import ngram_repetition_signals
+
+    return ngram_repetition_signals(tokens(spark, sf_dir))
+
+
+ORACLE_NGRAM_REPETITION = TOK_CTE + """
+, dc AS (SELECT doc_id, sum(length(term)) AS doc_chars FROM tok GROUP BY doc_id)
+, g2 AS (
+  SELECT doc_id,
+         term || chr(1) || lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM tok
+), c2 AS (
+  SELECT doc_id, count(*) AS cnt, count(*) * (length(gram) - 1) AS occ
+  FROM g2 WHERE gram IS NOT NULL GROUP BY doc_id, gram
+), t2 AS (
+  SELECT doc_id, occ FROM c2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, occ DESC) = 1
+), g3 AS (
+  SELECT doc_id,
+         term || chr(1) || lead(term, 1) OVER w || chr(1) || lead(term, 2) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c3 AS (
+  SELECT doc_id, count(*) AS cnt, count(*) * (length(gram) - 2) AS occ
+  FROM g3 WHERE gram IS NOT NULL GROUP BY doc_id, gram
+), t3 AS (
+  SELECT doc_id, occ FROM c3
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, occ DESC) = 1
+), g4 AS (
+  SELECT doc_id,
+         term || chr(1) || lead(term, 1) OVER w || chr(1) || lead(term, 2) OVER w
+              || chr(1) || lead(term, 3) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c4 AS (
+  SELECT doc_id, count(*) AS cnt, count(*) * (length(gram) - 3) AS occ
+  FROM g4 WHERE gram IS NOT NULL GROUP BY doc_id, gram
+), t4 AS (
+  SELECT doc_id, occ FROM c4
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, occ DESC) = 1
+)
+SELECT dc.doc_id,
+       round(t2.occ / dc.doc_chars, 4) AS top_2gram_char_frac,
+       round(t3.occ / dc.doc_chars, 4) AS top_3gram_char_frac,
+       round(t4.occ / dc.doc_chars, 4) AS top_4gram_char_frac
+FROM dc
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id)
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-rules surface-statistics battery (Rae et al. 2021 A1.1):
     word/line counts, mean word length, alpha-word fraction, symbol
@@ -1209,6 +1266,7 @@ QUERIES: dict = {
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PPL),
     "gopher_quality": (q_gopher_quality, ORACLE_GOPHER_QUALITY),
+    "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),

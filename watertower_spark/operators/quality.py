@@ -127,6 +127,61 @@ def gopher_quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame
     return out.withColumn("gopher_flag", flag)
 
 
+def ngram_repetition_signals(
+    tokens: DataFrame, ns: tuple[int, ...] = (2, 3, 4), round_to: int = 4
+) -> DataFrame:
+    """Gopher's token-level repetition battery (Rae 2021 A1.1): per
+    doc, the fraction of characters contained in occurrences of the
+    MOST FREQUENT n-gram, for each n in ``ns`` (Gopher keeps docs with
+    top-{2,3,4}-gram fractions <= {0.20, 0.18, 0.16}).
+
+    ``tokens`` is the (doc_id, pos, term) stream.  Characters are
+    token characters (no separators); occurrences may overlap, so a
+    degenerate doc ("a b a b ...") can legitimately score > 1 — the
+    filter only ever tests an upper bound, so that needs no clamping.
+    Docs with at least one token get a row; ``top_{n}gram_char_frac``
+    is null when the doc is shorter than n tokens.
+
+    Physical plan per n: one lead-window pass (per-doc ordering, the
+    same shape as the LM bigram pass) → groupBy (doc_id, gram) with
+    map-side partial aggregation — doc_id is IN the key, so there are
+    no global hot keys and the exchange is skew-free — → a per-doc
+    max(struct(count, chars)) which is again map-side combinable.
+    Ties on count resolve to the larger character footprint; the
+    output value depends only on (count, chars), so the tie rule is
+    value-deterministic.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    out = tokens.groupBy("doc_id").agg(
+        F.sum(F.length("term")).alias("doc_chars")
+    )
+    fracs = []
+    for n in ns:
+        cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
+        grams = (
+            tokens.select(
+                "doc_id", F.concat_ws(chr(1), *cols).alias("gram"),
+                cols[-1].isNotNull().alias("complete"),
+            )
+            .where("complete")
+        )
+        cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        occ = cnt.select(
+            "doc_id", "cnt",
+            (F.col("cnt") * (F.length("gram") - (n - 1))).alias("occ"),
+        )
+        top = occ.groupBy("doc_id").agg(
+            F.max(F.struct("cnt", "occ")).getField("occ").alias(f"_top{n}")
+        )
+        out = out.join(top, "doc_id", "left")
+        fracs.append(
+            F.round(F.col(f"_top{n}") / F.col("doc_chars"), round_to).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    return out.select("doc_id", *fracs)
+
+
 def bigram_lm_perplexity(tokens: DataFrame, round_to: int | None = None) -> DataFrame:
     """(doc_id, n_bigrams, ppl) for every doc with >= 2 tokens.
 
