@@ -938,3 +938,16 @@ def test_ngram_repetition_hand_computed(spark):
     assert out[2]["top_2gram_char_frac"] == round(4 / 6, 4)  # any pair x1, 4 chars
     assert out[2]["top_3gram_char_frac"] == 1.0
     assert out[2]["top_4gram_char_frac"] is None
+
+
+def test_gopher_and_pii_plans_have_no_exchange(spark):
+    """The docstrings claim gopher_quality_signals and redact_pii are
+    zero-shuffle narrow maps (free riders on an ingest scan at crawl
+    scale); pin that against the actual physical plan."""
+    from watertower_spark.operators.pii import redact_pii
+    from watertower_spark.operators.quality import gopher_quality_signals
+
+    docs = spark.createDataFrame([(1, "a few words here")], "doc_id int, text string")
+    for df in (gopher_quality_signals(docs), redact_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
