@@ -951,3 +951,19 @@ def test_gopher_and_pii_plans_have_no_exchange(spark):
     for df in (gopher_quality_signals(docs), redact_pii(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_dup_ngram_coverage_hand_computed(spark):
+    """'a b c a b c d': dup 2-grams 'a b'/'b c' cover positions
+    {0,1,2,3,4,5} -> 6/7 chars; dup 3-gram 'a b c' covers the same six
+    -> 6/7; no dup 4-gram -> 0.0.  True coverage: never exceeds 1."""
+    from watertower_spark.operators.quality import dup_ngram_coverage
+
+    toks = [(1, i, t) for i, t in enumerate("a b c a b c d".split())]
+    toks += [(2, i, t) for i, t in enumerate("p q r s".split())]  # no dups
+    tok = spark.createDataFrame(toks, "doc_id int, pos int, term string")
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(tok, ns=(2, 3, 4)).collect()}
+    assert out[1]["dup_2gram_char_frac"] == round(6 / 7, 4)
+    assert out[1]["dup_3gram_char_frac"] == round(6 / 7, 4)
+    assert out[1]["dup_4gram_char_frac"] == 0.0
+    assert out[2]["dup_2gram_char_frac"] == 0.0

@@ -417,6 +417,83 @@ LEFT JOIN t4 USING (doc_id)
 """
 
 
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Gopher's duplicated-n-gram character coverage (the in-[0,1]
+    half of the repetition battery), over a deterministically doctored
+    corpus: the synthetic text has NO organic within-doc duplicate
+    5-grams (verified — a 0==0 gate proves nothing), so docs with
+    doc_id % 4 == 0 get their first 40 words re-appended, giving those
+    docs real, per-doc-varying coverage while the rest pin the zero
+    path.  Both engines derive the same doctored input."""
+    from watertower_spark.operators.quality import dup_ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    doctored = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" "), F.concat_ws(" ", F.slice(ws, 1, 40))),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", doctored.alias("text"))
+    ws2 = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    toks = t.select(
+        "doc_id", F.posexplode(ws2).alias("pos", "raw")
+    ).select(
+        "doc_id", "pos",
+        F.lower(F.regexp_replace("raw", _TRIM_RE, "")).alias("term"),
+    )
+    return dup_ngram_coverage(toks, ns=(5, 10))
+
+
+def _dup_cov_sql(n: int) -> str:
+    gram = " || chr(1) || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+, g{n} AS (
+  SELECT doc_id, pos, {gram} AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), d{n} AS (
+  SELECT doc_id, gram FROM g{n} WHERE gram IS NOT NULL
+  GROUP BY doc_id, gram HAVING count(*) >= 2
+), cov{n} AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + {n - 1})) AS pos
+    FROM g{n} g JOIN d{n} USING (doc_id, gram)
+  )
+), cc{n} AS (
+  SELECT c.doc_id, sum(length(t.term)) AS cov
+  FROM cov{n} c JOIN tok t USING (doc_id, pos) GROUP BY c.doc_id
+)"""
+
+
+ORACLE_DUP_NGRAM = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' ' || array_to_string(list_slice(
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                     1, 40), ' ')
+              ELSE text END AS text
+  FROM documents
+), __ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM base
+), tok AS (
+  SELECT doc_id,
+         p - 1 AS pos,
+         lower(regexp_replace(w, '[.,:"]+$', '')) AS term
+  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p FROM __ws)
+), dc AS (SELECT doc_id, sum(length(term)) AS doc_chars FROM tok GROUP BY doc_id)
+""" + _dup_cov_sql(5) + _dup_cov_sql(10) + """
+SELECT dc.doc_id,
+       round(coalesce(cc5.cov, 0) / dc.doc_chars, 4) AS dup_5gram_char_frac,
+       round(coalesce(cc10.cov, 0) / dc.doc_chars, 4) AS dup_10gram_char_frac
+FROM dc
+LEFT JOIN cc5 USING (doc_id)
+LEFT JOIN cc10 USING (doc_id)
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-rules surface-statistics battery (Rae et al. 2021 A1.1):
     word/line counts, mean word length, alpha-word fraction, symbol
@@ -1267,6 +1344,7 @@ QUERIES: dict = {
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PPL),
     "gopher_quality": (q_gopher_quality, ORACLE_GOPHER_QUALITY),
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, ORACLE_DUP_NGRAM),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),

@@ -182,6 +182,74 @@ def ngram_repetition_signals(
     return out.select("doc_id", *fracs)
 
 
+def dup_ngram_coverage(
+    tokens: DataFrame, ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10), round_to: int = 4
+) -> DataFrame:
+    """The other half of Gopher's repetition battery (Rae 2021 A1.1):
+    per doc, the fraction of characters covered by occurrences of ANY
+    duplicated n-gram (an n-gram appearing >= 2 times in the doc),
+    for each n in ``ns`` — Gopher keeps docs with dup-{5..10}-gram
+    coverage <= {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+
+    Unlike ``ngram_repetition_signals`` (which multiplies counts and
+    can exceed 1 on overlaps), this is true coverage: each character
+    counts once no matter how many duplicated grams span it, so the
+    value is always in [0, 1].  Docs with no duplicated n-gram (or
+    shorter than n tokens) score 0.0.
+
+    Physical plan per n: lead-window gram pass → (doc_id, gram)
+    count with map-side partial agg (doc_id in the key, skew-free) →
+    semi-join the occurrences of grams with count >= 2 → explode each
+    occurrence into its <= n covered positions → distinct → join back
+    to token lengths.  The explode factor is bounded by n (<= 10) and
+    the key space always includes doc_id, so the plan carries no
+    all-pairs or hot-key risk at crawl scale.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    out = tokens.groupBy("doc_id").agg(
+        F.sum(F.length("term")).alias("doc_chars")
+    )
+    fracs = []
+    for n in ns:
+        cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
+        grams = (
+            tokens.select(
+                "doc_id", "pos", F.concat_ws(chr(1), *cols).alias("gram"),
+                cols[-1].isNotNull().alias("complete"),
+            )
+            .where("complete")
+        )
+        dup = (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+            .where("cnt >= 2")
+            .select("doc_id", "gram")
+        )
+        covered = (
+            grams.join(dup, ["doc_id", "gram"])
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        cov_chars = (
+            covered.join(tokens, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.length("term")).alias(f"_cov{n}"))
+        )
+        out = out.join(cov_chars, "doc_id", "left")
+        fracs.append(
+            F.round(
+                F.coalesce(F.col(f"_cov{n}"), F.lit(0)) / F.col("doc_chars"),
+                round_to,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    return out.select("doc_id", *fracs)
+
+
 def bigram_lm_perplexity(tokens: DataFrame, round_to: int | None = None) -> DataFrame:
     """(doc_id, n_bigrams, ppl) for every doc with >= 2 tokens.
 
