@@ -967,3 +967,95 @@ def test_dup_ngram_coverage_hand_computed(spark):
     assert out[1]["dup_3gram_char_frac"] == round(6 / 7, 4)
     assert out[1]["dup_4gram_char_frac"] == 0.0
     assert out[2]["dup_2gram_char_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """Membership is a pure function of (key, salt): rerunning and
+    repartitioning give the identical sample; fraction 1.0 keeps every
+    row of the stratum, 0.0 none; different salts decorrelate."""
+    import hashlib
+
+    from watertower_spark.operators.training import (
+        sample_threshold_hex, stratified_sample,
+    )
+
+    rows = [(i, ["en", "zh", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    frac = {"en": 1.0, "zh": 0.4, "de": 0.0}
+    got = {r["doc_id"] for r in stratified_sample(df, frac, salt="s1").collect()}
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), frac, salt="s1").collect()
+    }
+    assert got == again
+    # first-principles replay of the gate in pure Python
+    thr = sample_threshold_hex(0.4)
+    expect = set()
+    for i, lang in rows:
+        if lang == "en":
+            expect.add(i)
+        elif lang == "zh":
+            h = hashlib.md5(f"{i}:s1".encode()).hexdigest()[:8]
+            if h < thr:
+                expect.add(i)
+    assert got == expect
+    other = {r["doc_id"] for r in stratified_sample(df, frac, salt="s2").collect()}
+    assert other != got  # salt actually decorrelates
+    assert {i for i, l in rows if l == "en"} <= other
+
+
+def test_stratified_sample_is_narrow(spark):
+    """The mixing gate must stay a shuffle-free filter on the scan."""
+    from watertower_spark.operators.training import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = (
+        stratified_sample(df, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    """Distributed two-phase prefix sum == the naive serial layout,
+    including zero-token docs and spans crossing sequence cuts."""
+    from watertower_spark.operators.training import pack_sequences
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0, 1, 3, 50, 120])) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, 64, num_partitions=11).collect()
+    }
+    assert len(out) == 500
+    cum = 0
+    for i, n in rows:  # serial reference layout
+        r = out[i]
+        assert r["start_tok"] == cum
+        assert r["seq_offset"] == cum % 64
+        assert r["first_seq"] == cum // 64
+        assert r["last_seq"] == (cum + max(n - 1, 0)) // 64
+        cum += n
+    # a doc longer than seq_len spans multiple sequences
+    spans = [r for r in out.values() if r["last_seq"] > r["first_seq"]]
+    assert spans, "corpus should contain boundary-crossing docs"
+
+
+def test_pack_sequences_never_collapses_to_one_task(spark):
+    """The whole point vs SUM() OVER (ORDER BY): no single-partition
+    global window in the physical plan."""
+    from watertower_spark.operators.training import pack_sequences
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
+    )
+    plan = (
+        pack_sequences(df, 128, num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "", 1
+    ), plan  # exactly the one P-row totals exchange is allowed

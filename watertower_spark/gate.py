@@ -571,6 +571,80 @@ FROM documents
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-gated language-mixing sample
+    (operators/training.stratified_sample): per-lang keep fractions,
+    membership a pure function of (doc_id, salt) so the oracle can
+    re-derive the gate with its own md5 — the pass certifies the
+    threshold arithmetic AND the hash-prefix compare, not RNG luck."""
+    from watertower_spark.operators.training import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs,
+        {"en": 1.0, "zh": 0.5, "de": 0.0},
+        strata_col="lang",
+        key_col="doc_id",
+        salt="r5",
+        default_fraction=0.25,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+# thresholds are the operator's own arithmetic, embedded as literals so
+# DuckDB replays the identical lexicographic hex compare
+from watertower_spark.operators.training import sample_threshold_hex as _thr  # noqa: E402
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CASE
+  WHEN lang = 'en' THEN TRUE
+  WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 8) < '{_thr(0.5)}'
+  WHEN lang = 'de' THEN FALSE
+  ELSE substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 8) < '{_thr(0.25)}'
+END
+"""
+
+
+def q_seq_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk packing layout
+    (operators/training.pack_sequences): whitespace token counts,
+    seq_len=64, doc_id order.  The Spark plan is the two-phase
+    distributed prefix sum (range shuffle + per-partition windows +
+    broadcast base offsets); the oracle is the naive single-node
+    ``SUM() OVER (ORDER BY doc_id)`` — a hash match certifies the
+    distributed decomposition reproduces the global cumsum exactly."""
+    from watertower_spark.operators.training import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(sized, seq_len=64, n_tokens_col="n_tokens",
+                          order_col="doc_id", num_partitions=8)
+
+
+ORACLE_SEQ_PACK = r"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 64 AS BIGINT) AS first_seq,
+       CAST((start_tok + greatest(n_tokens - 1, 0)) // 64 AS BIGINT) AS last_seq,
+       CAST(start_tok % 64 AS BIGINT) AS seq_offset
+FROM cum
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard near-dup pairs among doc_id < 300.
     (Window/threshold chosen so the oracle compares NON-empty result
@@ -1346,6 +1420,8 @@ QUERIES: dict = {
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "dup_ngram_coverage": (q_dup_ngram_coverage, ORACLE_DUP_NGRAM),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "seq_pack": (q_seq_pack, ORACLE_SEQ_PACK),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
