@@ -1059,3 +1059,73 @@ def test_pack_sequences_never_collapses_to_one_task(spark):
     assert "SinglePartition" not in plan.replace(
         "Exchange SinglePartition", "", 1
     ), plan  # exactly the one P-row totals exchange is allowed
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+@pytest.fixture(scope="module")
+def decontam_streams(spark):
+    """Corpus + benchmark token streams with hand-derivable 4-gram overlap."""
+    corpus = {
+        1: "x w1 w2 w3 w4 y",        # shares gram w1..w4 with B1
+        2: "w2 w3 w4 w5",            # shares gram w2..w5 with B1
+        3: "w1 w2 w3 z w4",          # longest shared run is 3 tokens: clean
+        4: "w1 w2 w3 w4 w5",         # both B1 grams
+        5: "q1 q2 q3 q4 w1 w2 w3 w4",  # hits B2 AND B1
+        6: "short doc",              # < n tokens: cannot be contaminated
+    }
+    bench = {
+        100: "w1 w2 w3 w4 w5",  # B1: grams w1..w4, w2..w5
+        200: "q1 q2 q3 q4",     # B2: gram q1..q4
+        300: "too few",         # < n tokens: contributes nothing
+    }
+
+    def stream(d, id_name):
+        rows = [
+            (k, pos, term)
+            for k, text in d.items()
+            for pos, term in enumerate(text.split())
+        ]
+        return spark.createDataFrame(rows, f"{id_name} long, pos int, term string")
+
+    return stream(corpus, "doc_id"), stream(bench, "bench_id")
+
+
+def test_contamination_report_gram_semantics(decontam_streams):
+    from watertower_spark.operators.decontam import contamination_report
+
+    tok, bench = decontam_streams
+    out = {r["doc_id"]: r for r in contamination_report(tok, bench, n=4).collect()}
+    assert set(out) == {1, 2, 4, 5}          # 3 (broken run) and 6 (short) clean
+    assert (out[1]["n_hit_grams"], out[1]["n_bench_ids"]) == (1, 1)
+    assert (out[2]["n_hit_grams"], out[2]["n_bench_ids"]) == (1, 1)
+    assert (out[4]["n_hit_grams"], out[4]["n_bench_ids"]) == (2, 1)
+    assert (out[5]["n_hit_grams"], out[5]["n_bench_ids"]) == (2, 2)
+
+
+def test_decontaminate_drops_exactly_the_report(spark, decontam_streams):
+    from watertower_spark.operators.decontam import decontaminate
+
+    tok, bench = decontam_streams
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    clean, report = decontaminate(docs, tok, bench, n=4)
+    kept = {r["doc_id"] for r in clean.collect()}
+    flagged = {r["doc_id"] for r in report.collect()}
+    assert kept == {3, 6} and flagged == {1, 2, 4, 5}
+    assert kept | flagged == set(range(1, 7)) and not (kept & flagged)
+
+
+def test_contamination_probe_broadcasts_benchmark(decontam_streams):
+    """The scale contract: the gram join must be a broadcast hash join
+    (the corpus stream is never shuffled to meet the benchmark)."""
+    from watertower_spark.operators.decontam import contamination_report
+
+    tok, bench = decontam_streams
+    plan = (
+        contamination_report(tok, bench, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

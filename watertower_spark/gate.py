@@ -1377,6 +1377,54 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _recall_gated_exact_topk(spark, sf_dir, approx)
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam): 8-gram overlap
+    report against a benchmark set DERIVED from the corpus itself —
+    the first 12 tokens of every doc_id % 25 == 0 doc form one
+    benchmark item, so every such doc (with >= 8 tokens) is
+    contaminated by construction and any other doc sharing one of
+    those 8-grams is too.  The Spark plan broadcasts the benchmark
+    grams (the operator's scale contract); the oracle recomputes both
+    gram streams with SQL lead windows."""
+    from watertower_spark.operators.decontam import contamination_report
+
+    tok = tokens(spark, sf_dir)
+    bench = tok.where((F.col("doc_id") % 25 == 0) & (F.col("pos") < 12)).select(
+        F.col("doc_id").alias("bench_id"), "pos", "term"
+    )
+    return contamination_report(tok, bench, n=8)
+
+
+ORACLE_DECONTAM = TOK_CTE + """
+, cg AS (
+  SELECT doc_id,
+         concat_ws(chr(1), term,
+           lead(term, 1) OVER w, lead(term, 2) OVER w, lead(term, 3) OVER w,
+           lead(term, 4) OVER w, lead(term, 5) OVER w, lead(term, 6) OVER w,
+           lead(term, 7) OVER w) AS gram,
+         (lead(term, 7) OVER w) IS NOT NULL AS complete
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), bt AS (
+  SELECT doc_id AS bench_id, pos, term FROM tok
+  WHERE doc_id % 25 = 0 AND pos < 12
+), bg AS (
+  SELECT bench_id,
+         concat_ws(chr(1), term,
+           lead(term, 1) OVER v, lead(term, 2) OVER v, lead(term, 3) OVER v,
+           lead(term, 4) OVER v, lead(term, 5) OVER v, lead(term, 6) OVER v,
+           lead(term, 7) OVER v) AS gram,
+         (lead(term, 7) OVER v) IS NOT NULL AS complete
+  FROM bt WINDOW v AS (PARTITION BY bench_id ORDER BY pos)
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_ids
+FROM (SELECT doc_id, gram FROM cg WHERE complete) c
+JOIN (SELECT DISTINCT bench_id, gram FROM bg WHERE complete) b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
 # --------------------------------------------------- non-SQL-expressible
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1422,6 +1470,7 @@ QUERIES: dict = {
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "seq_pack": (q_seq_pack, ORACLE_SEQ_PACK),
+    "decontam": (q_decontam, ORACLE_DECONTAM),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),
