@@ -95,18 +95,27 @@ def _restores_overwrite_mode(fn):
     """Mutation paths flip spark.sql.sources.partitionOverwriteMode to
     'dynamic' mid-flight; restore the session's previous value on exit
     so the setting doesn't leak into subsequent user writes (ADVICE r3).
+    Also pins the index parquet codec (index_build.PARQUET_CODEC) for
+    the mutation's duration so rewritten shards/tables keep the build's
+    codec, restoring the session value on exit the same way.
     Wrapped functions must take the SparkSession as their first arg."""
 
     @functools.wraps(fn)
     def wrapper(spark, *args, **kwargs):
+        from .index_build import PARQUET_CODEC
+
         key = "spark.sql.sources.partitionOverwriteMode"
+        ckey = "spark.sql.parquet.compression.codec"
         try:
             prev = spark.conf.get(key)
         except Exception:
             prev = None
+        codec_prev = spark.conf.get(ckey, "snappy")
+        spark.conf.set(ckey, PARQUET_CODEC)
         try:
             return fn(spark, *args, **kwargs)
         finally:
+            spark.conf.set(ckey, codec_prev)
             if prev is None:
                 with contextlib.suppress(Exception):
                     spark.conf.unset(key)
