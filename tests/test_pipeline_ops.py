@@ -314,6 +314,42 @@ def test_simhash_near_pairs_degenerate_bucket_cap(spark, token_df):
     assert with_cap.where("da >= 100 and db >= 100").limit(1).count() == 1
 
 
+def test_connected_components_basic(spark):
+    """Chain + clique + isolated pair + path graph → min-id components."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3, clique 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "da long, db long",
+    )
+    got = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_beats_pairwise_greedy(spark):
+    """The V graph (1-3, 2-3): doc 2 is a local minimum (its only
+    neighbor is larger) so the pairwise drop-the-greater rule keeps it,
+    yet it is transitively a duplicate of component minimum 1 — the
+    exact case clustering exists for."""
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "da long, db long")
+    greedy_keep = {1, 2}  # victims = greatest of each pair = {3}
+    cc = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    cc_keep = {n for n, c in cc.items() if n == c}
+    assert cc_keep == {1} and cc_keep < greedy_keep
+
+
+def test_connected_components_path_graph_and_empty(spark):
+    """A 64-node path is label propagation's worst case (diameter 63);
+    the alternating star algorithm must close it well inside the
+    default iteration cap.  Empty input → empty output."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "da long, db long"
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert len(got) == 64 and all(r["component"] == 0 for r in got)
+    empty = spark.createDataFrame([], "da long, db long")
+    assert dedup.connected_components(empty).collect() == []
+
+
 def test_similarity_brute_vs_arrow(spark):
     rng = np.random.default_rng(3)
     vecs = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(50)]

@@ -1427,6 +1427,74 @@ GROUP BY c.doc_id
 
 # --------------------------------------------------- non-SQL-expressible
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: exact 3-gram-Jaccard pairs → connected
+    components (``dedup.connected_components``, alternating large/small
+    star) → (doc_id, component=min reachable doc_id).  The pair source
+    is the SQL-expressible exact-Jaccard join (the same shape as
+    ``ngram_jaccard``) rather than MinHash so the ENTIRE gate — pair
+    generation AND the iterative clustering — is oracled: DuckDB
+    recomputes the components with a recursive CTE.  Threshold 0.35
+    (vs ngram_jaccard's 0.5) admits chain-forming pairs so the gate
+    exercises transitivity, not just cliques."""
+    from pyspark.sql import Window
+
+    from watertower_spark.operators.dedup import connected_components
+
+    t = tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        t.withColumn("t2", F.lead("term", 1).over(w))
+        .withColumn("t3", F.lead("term", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+        .where(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) >= 0.35)
+        .select("da", "db")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+ORACLE_DUP_CLUSTERS = TOK_CTE.replace("WITH __ws", "WITH RECURSIVE __ws", 1) + """
+, sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+prs AS (
+  SELECT da, db FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+    FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.da
+  JOIN sizes sb ON sb.doc_id = p.db
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.35
+),
+edges AS (SELECT da AS u, db AS v FROM prs UNION SELECT db, da FROM prs),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (verified by exact Jaccard).
     Uses xxhash64 — not SQL-portable, so rows-only check."""
@@ -1471,6 +1539,7 @@ QUERIES: dict = {
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "seq_pack": (q_seq_pack, ORACLE_SEQ_PACK),
     "decontam": (q_decontam, ORACLE_DECONTAM),
+    "dup_clusters": (q_dup_clusters, ORACLE_DUP_CLUSTERS),
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     "embedding_knn": (q_embedding_knn, ORACLE_EMBEDDING_KNN),
     "engine_tfidf": (q_engine_tfidf, ORACLE_ENGINE_TFIDF),

@@ -499,3 +499,79 @@ def simhash_near_pairs(tokens: DataFrame, max_hamming: int = 3,
         .select("da", "db", "hamming")
     )
     return (pairs, dropped) if return_dropped else pairs
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "da", b: str = "db", max_iterations: int = 25
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` is the smallest node id reachable from it.
+
+    This is the step real pipelines run AFTER near-dup pair generation:
+    similarity is not transitive, so pairwise victims (drop the larger
+    of every pair) can drop both endpoints of a chain a~b~c while a and
+    c stay mutually un-paired — clustering first and keeping one doc per
+    component is the MinHash dedup convention of GPT-3/Gopher-class
+    corpora.  There is no counterpart in the reference (its exact-key
+    store never needs one); the algorithm is the alternating
+    large-star/small-star of Kiveris et al. 2014 ("Connected Components
+    in MapReduce and Beyond"), which converges in O(log^2 n) rounds on
+    any graph — not O(diameter) like naive label propagation.
+
+    Scale posture: each half-round is one map-side-combinable ``min``
+    aggregate per node plus one join back on the node key — neighbor
+    lists are NEVER collected into arrays, so a million-doc boilerplate
+    cluster costs a hot join key (AQE-splittable; build side is one row
+    per node) instead of a degree-sized in-memory array.  Lineage is
+    truncated every round with ``localCheckpoint`` (iterative joins
+    otherwise stack plans past the analyzer's depth), and the
+    convergence check is one ``isEmpty`` on a set difference.
+    """
+    edges = (
+        pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # large-star: for each node u (over BOTH edge directions), every
+        # strictly-larger neighbor points to min(N(u) + {u}).
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges (hi, lo); every smaller neighbor and u
+        # itself point to the smallest member of the oriented star.
+        hi_lo = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            hi_lo.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        if new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty():
+            edges = new_edges
+            break
+        edges = new_edges
+
+    # Converged edges form stars rooted at each component's minimum.
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

@@ -23,13 +23,23 @@ doc.  For clusters this is the standard greedy convention (the
 globally smallest member always survives; chain members may keep more
 than one representative when similarity is not transitive) — the same
 keeper rule the exact-dedup stage and ``dedup.duplicate_spans`` use.
+``near_dup_transitive=True`` upgrades the stage to one-doc-per-
+connected-component (``dedup.connected_components`` — the GPT-3/Gopher
+clustering convention), at the cost of the CC iteration's extra
+log²-many small shuffles over the pair graph — and of laziness: the
+CC loop checkpoints per round, so that one stage computes when
+``clean_corpus`` is called rather than when the result is acted on.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from watertower_spark.operators.dedup import minhash_lsh_pairs, remove_frequent_lines
+from watertower_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    remove_frequent_lines,
+)
 from watertower_spark.operators.pii import redact_pii
 from watertower_spark.operators.quality import gopher_quality_signals
 
@@ -54,6 +64,7 @@ def clean_corpus(
     apply_gopher: bool = True,
     apply_pii: bool = True,
     near_dup_threshold: float = 0.8,
+    near_dup_transitive: bool = False,
     minhash_hashes: int = 32,
     minhash_bands: int = 8,
 ) -> tuple[DataFrame, dict]:
@@ -102,7 +113,13 @@ def clean_corpus(
         _ws_tokens(cur), n_hashes=minhash_hashes, bands=minhash_bands,
         threshold=near_dup_threshold,
     )
-    victims = pairs.select(F.greatest("da", "db").alias("doc_id")).distinct()
+    if near_dup_transitive:
+        comp = connected_components(pairs)
+        victims = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+    else:
+        victims = pairs.select(F.greatest("da", "db").alias("doc_id")).distinct()
     cur = cur.join(victims, "doc_id", "left_anti")
     stages["near_dedup"] = cur
 
