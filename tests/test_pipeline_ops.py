@@ -957,6 +957,32 @@ def test_clean_corpus_full_cascade(spark):
     assert list(clean.columns) == ["doc_id", "lang", "text"]
 
 
+def test_clean_corpus_transitive_near_dedup(spark):
+    """near_dup_transitive=True keeps one doc per connected component:
+    doc 30 pairs with 10 and 20, 10~20 themselves below threshold — the
+    greedy rule keeps {10, 20} while clustering keeps only the
+    component minimum 10."""
+    from watertower_spark.operators.pipeline import clean_corpus
+
+    words = [f"alpha{i:02d}" for i in range(60)]
+    a = " ".join(words)                                  # doc 10
+    b = " ".join(words[:40] + [f"beta{i:02d}" for i in range(20)])   # doc 20
+    mid = " ".join(words[:50] + [f"beta{i:02d}" for i in range(10)])  # doc 30 ~ both
+    docs = spark.createDataFrame(
+        [(10, a, "en"), (20, b, "en"), (30, mid, "en")],
+        "doc_id int, text string, lang string",
+    )
+    # bands=32 (rows-per-band 1) makes LSH candidate recall certain for
+    # these J≈0.66-0.71 pairs; the exact-Jaccard verification still
+    # rejects the sub-threshold (10, 20) pair (J≈0.49).
+    kw = dict(min_line_docs=99, apply_gopher=False, apply_pii=False,
+              near_dup_threshold=0.6, minhash_bands=32)
+    greedy, _ = clean_corpus(docs, **kw)
+    transitive, _ = clean_corpus(docs, near_dup_transitive=True, **kw)
+    assert {r["doc_id"] for r in greedy.collect()} == {10, 20}
+    assert {r["doc_id"] for r in transitive.collect()} == {10}
+
+
 def test_ngram_repetition_hand_computed(spark):
     """'a b a b a b c': top 2-gram 'a b' x3 -> 6/7 chars; top 3-gram
     'a b a' x2 -> 6/7; top 4-gram 'a b a b' x2 -> 8/7 (overlapping
