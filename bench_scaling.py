@@ -138,6 +138,14 @@ def child(cpus: int) -> None:
         }))
         return
 
+    # Drain the build's dirty pages before timing queries (symmetric at
+    # both levels, excluded from both timers): the faster level finishes
+    # its write burst just before the query set and would otherwise
+    # measure queries in the build's writeback shadow — the diagnosed
+    # cause of the 3-4x 16-core query-set inflation in the round-5
+    # post-registration informational runs (BENCH_SCALING.md).
+    os.sync()
+
     eng = SearchEngine(spark, idx)
     queries = [
         ("data", None, "bm25"), ("merge sort", None, "bm25"),
