@@ -145,6 +145,12 @@ def child(cpus: int) -> None:
     # cause of the 3-4x 16-core query-set inflation in the round-5
     # post-registration informational runs (BENCH_SCALING.md).
     os.sync()
+    # ...and the build's JVM garbage (GC barely runs in a 48g heap, so
+    # promoted build garbage + dropped cleaner refs sit live): one full
+    # GC between the timers, symmetric at both levels, excluded from
+    # both measurements.  Diagnosed from the -Xlog:gc timeline of the
+    # tmpfs 16-core child (BENCH_SCALING.md round 5).
+    spark.sparkContext._jvm.System.gc()
 
     eng = SearchEngine(spark, idx)
     queries = [

@@ -754,8 +754,13 @@ def build_index(
     fsio.write_json(f"{index_dir}/_meta/manifest.json", manifest)
     append_snapshot(index_dir, manifest, "build")
 
-    seg.unpersist()
-    doc_map.unpersist()
+    # blocking: a build-then-serve session (the server lifecycle) must not
+    # carry gigabytes of cached segment blocks into its query phase — lazy
+    # unpersist leaves them resident until some later GC notices, and GC
+    # barely runs in a large heap (measured: 8.5 GB live post-build,
+    # multi-second young pauses through the following query set)
+    seg.unpersist(blocking=True)
+    doc_map.unpersist(blocking=True)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe_coalesce_prev)
     spark.conf.set("spark.sql.parquet.compression.codec", codec_prev)
     return manifest
