@@ -199,3 +199,56 @@ def test_japanese_stop_words_and_pos_semantics():
     assert a.splitter("人魚は、南の方の海にばかり棲んでいるのではありません。") == [
         "人魚", "南", "方", "海", "棲ん", "いる", "の", "で", "あり", "ませ", "ん",
     ]
+
+
+def test_nfkc_fold_analyzer_unit():
+    """Opt-in NFKC compatibility fold (north-star normalization clause):
+    full-width forms, ligatures, and compatibility digits fold to their
+    ASCII equivalents BEFORE the English split/stem; the parity 'en'
+    analyzer stays byte-faithful (the reference applies no Unicode
+    normalization, nlp/english/english.go:20-28)."""
+    from watertower_spark.analyzers import find_analyzer, nfkc_english_splitter
+
+    assert nfkc_english_splitter("Ｈｅｌｌｏ ﬁｌｅ ｔａｂｌｅ№") == [
+        "hello", "file", "tableno",
+    ]
+    # parity analyzer does NOT fold
+    assert english_splitter("Ｈｅｌｌｏ") == ["ｈｅｌｌｏ"]
+    a = find_analyzer("en-nfkc")
+    # stemming applies after the fold (ﬁｌｉｎｇ -> filing -> file)
+    assert a.stemmer(a.splitter("ﬁｌｉｎｇ")[0]) == "file"
+    # query analysis goes through the same registry entry: symmetric
+    q = analyze_query("ｔａｂｌｅｓ", "en-nfkc")
+    assert list(q) == ["tabl"]
+
+
+def test_nfkc_fold_end_to_end(spark, tmp_index_root):
+    """A document whose text arrives in full-width forms is findable by
+    an ASCII query (and vice versa) when indexed with en-nfkc."""
+    import datetime
+    import shutil
+
+    from watertower_spark.operators.index_build import build_index
+    from watertower_spark.operators.search import SearchEngine
+    from watertower_spark.sources import corpus
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u://1", ts, None, "wide\n\nＴｈｅ ｑｕｉｃｋ ｔａｂｌｅｓ", "en-nfkc"),
+        ("u://2", ts, None, "ascii\n\nthe quick tables", "en-nfkc"),
+        ("u://3", ts, None, "other\n\nnothing relevant here", "en-nfkc"),
+    ]
+    docs = spark.createDataFrame(rows, schema=corpus.DOC_SCHEMA)
+    tags = spark.createDataFrame(
+        [("u://1", ["t"]), ("u://2", ["t"]), ("u://3", ["t"])],
+        schema=corpus.TAG_SCHEMA,
+    )
+    idx = f"{tmp_index_root}/nfkc_e2e"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=4)
+    eng = SearchEngine(spark, idx)
+    # ASCII query finds the full-width doc; full-width query finds both
+    hits = {r.url for r in eng.search("tables", None, mode="bm25", k=10, lang="en-nfkc").collect()}
+    assert hits == {"u://1", "u://2"}
+    hits_fw = {r.url for r in eng.search("ｑｕｉｃｋ", None, mode="bm25", k=10, lang="en-nfkc").collect()}
+    assert hits_fw == {"u://1", "u://2"}

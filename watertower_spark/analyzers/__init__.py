@@ -31,6 +31,7 @@ Semantics re-expressed from the reference (citations into /root/reference):
 
 from __future__ import annotations
 
+import unicodedata
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -89,7 +90,23 @@ def bigram_splitter(content: str) -> list:
     return [chars[i] + chars[i + 1] for i in range(len(chars) - 1)]
 
 
+def nfkc_english_splitter(content: str) -> list:
+    """Unicode NFKC compatibility fold, then the English pipeline.
+
+    Opt-in (``en-nfkc``): web text is full of full-width forms
+    (ＡＢＣ), ligatures (ﬁ), and circled/superscript digits that NFKC
+    folds to their ASCII/compatibility equivalents, so "ｔａｂｌｅ"
+    matches "table".  NOT the parity default — the reference applies no
+    Unicode normalization (nlp/english/english.go:20-28), and rank
+    identity requires byte-faithful tokens.  Symmetric by construction:
+    the same analyzer entry serves index builds (default_lang/lang
+    column = "en-nfkc") and query analysis (analyze_query lang).
+    """
+    return english_splitter(unicodedata.normalize("NFKC", content))
+
+
 register_analyzer("en", english_splitter, porter2.stem)
+register_analyzer("en-nfkc", nfkc_english_splitter, porter2.stem)
 register_analyzer("simple", simple_splitter, None)
 register_analyzer("unigram", unigram_splitter, None)
 register_analyzer("bigram", bigram_splitter, None)
