@@ -571,6 +571,40 @@ FROM documents
 """
 
 
+# ASCII → full-width forms (U+FF01-FF5E) + ideographic space (U+3000):
+# the deterministic "widening" NFKC must exactly invert.
+_NFKC_SRC = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_NFKC_DST = (
+    "".join(chr(0xFF41 + i) for i in range(26))
+    + "".join(chr(0xFF10 + i) for i in range(10))
+    + "　"
+)
+
+
+def q_nfkc_fold(spark, sf_dir):
+    """NFKC fold (operators/analyze.nfkc_fold) with DERIVED ground
+    truth: the synthetic text is plain ASCII (NFKC-stable), so widening
+    it to full-width forms + ideographic spaces via translate() and
+    appending a ligature/numero suffix makes the expected fold exactly
+    `text || ' file No9'` — constructed by the oracle from first
+    principles, never by re-running a normalizer.  A pass certifies the
+    fold maps full-width→ASCII, U+3000→space, ﬁ→fi, №→No and leaves
+    ASCII untouched."""
+    from watertower_spark.operators.analyze import nfkc_fold
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    widened = F.concat(
+        F.translate(F.col("text"), _NFKC_SRC, _NFKC_DST),
+        F.lit(" ﬁle №9"),  # ' ﬁle №9'
+    )
+    return docs.select("doc_id", nfkc_fold(widened).alias("folded"))
+
+
+ORACLE_NFKC_FOLD = """
+SELECT doc_id, text || ' file No9' AS folded FROM documents
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-gated language-mixing sample
     (operators/training.stratified_sample): per-lang keep fractions,
@@ -1536,6 +1570,7 @@ QUERIES: dict = {
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "dup_ngram_coverage": (q_dup_ngram_coverage, ORACLE_DUP_NGRAM),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "nfkc_fold": (q_nfkc_fold, ORACLE_NFKC_FOLD),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "seq_pack": (q_seq_pack, ORACLE_SEQ_PACK),
     "decontam": (q_decontam, ORACLE_DECONTAM),

@@ -80,3 +80,25 @@ def analyze_to_terms(docs_with_ids, default_lang: str = "", analyzer_lang: str |
     return docs_with_ids.select("doc_id", "text", "lang").mapInPandas(
         run, schema=TERM_ROW_SCHEMA
     )
+
+
+def nfkc_fold(col):
+    """Column → NFKC-folded column (Arrow-batched pandas UDF).
+
+    Corpus-prep companion to the opt-in ``en-nfkc`` analyzer: folds
+    full-width forms (ＡＢＣ→ABC), ideographic spaces (U+3000→U+0020),
+    ligatures (ﬁ→fi), and compatibility signs (№→No) per Unicode NFKC.
+    The parity analyzers never call this — the reference applies no
+    normalization (/root/reference/nlp/english/english.go:20-28) — but
+    a web corpus can fold once at ingest and index with plain ``en``.
+
+    Vectorized via ``Series.str.normalize`` (pandas → unicodedata);
+    nulls pass through.
+    """
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFKC")
+
+    return _fold(col)
