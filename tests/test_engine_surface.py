@@ -311,3 +311,105 @@ def test_get_doc_by_docid(spark, rich_index):
     assert eng.get_doc(999999).count() == 0
     with pytest.raises(ValueError):
         eng.get_doc("x123")
+
+
+# --------------------------------------------------- prefix search + facets
+
+
+@pytest.fixture(scope="module")
+def tagged_index(spark, tmp_index_root):
+    """8 docs, alternating parity tags p0/p1 plus a shared 'all' tag —
+    the fixture for the prefix-search and facet-aggregation surfaces."""
+    rows = [
+        (
+            f"tg://{i:03d}",
+            _EPOCH,
+            None,
+            f"t{i}\n\nshared doc{i} " + ("red apple" if i % 2 == 0 else "blue berry"),
+            "en",
+        )
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    tags = docs.select(
+        "url",
+        F.array(
+            F.lit("all"),
+            F.concat(F.lit("p"), (F.substring("url", 6, 3).cast("int") % 2).cast("string")),
+        ).alias("tags"),
+    )
+    idx = f"{tmp_index_root}/tagged_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, analyzer_lang="en", docs_per_shard=3)
+    return idx
+
+
+def test_search_prefix_expansion(spark, tagged_index):
+    """doc* expands in the term dictionary (doc0..doc7), scores
+    disjunctively, and normalizes the raw prefix input."""
+    eng = SearchEngine(spark, tagged_index)
+    res = eng.search_prefix("doc", k=10).collect()
+    assert {r["url"] for r in res} == {f"tg://{i:03d}" for i in range(8)}
+    assert all(r["score"] > 0 for r in res)
+    # trailing '*' and case are normalized away
+    res2 = eng.search_prefix("DOC*", k=10).collect()
+    assert [r["doc_id"] for r in res2] == [r["doc_id"] for r in res]
+    # no dictionary match / empty prefix → empty result, schema intact
+    assert eng.search_prefix("zzz", k=5).count() == 0
+    assert eng.search_prefix("", k=5).count() == 0
+    assert eng.search_prefix("*", k=5).count() == 0
+
+
+def test_search_prefix_expansion_cap_is_deterministic(spark, tagged_index):
+    """max_expansions keeps the (df DESC, term ASC) leaders: with every
+    doc{i} term at df=1 the tie-break is lexicographic, so cap=3 keeps
+    doc0, doc1, doc2 exactly."""
+    eng = SearchEngine(spark, tagged_index)
+    capped = eng.search_prefix("doc", k=10, max_expansions=3).collect()
+    assert {r["url"] for r in capped} == {"tg://000", "tg://001", "tg://002"}
+    # a high-df expansion ('shared', df=8) outranks the doc{i} singletons
+    one = eng.search_prefix("sh", k=10, max_expansions=1).collect()
+    assert len(one) == 8
+
+
+def test_search_prefix_tag_filter_conjunctive(spark, tagged_index):
+    """Filter tags stay conjunctive under prefix expansion (ES bool
+    filter semantics): doc* + tag p1 → odd docs only."""
+    eng = SearchEngine(spark, tagged_index)
+    res = eng.search_prefix("doc", tags=["p1"], k=10).collect()
+    assert {r["url"] for r in res} == {f"tg://{i:03d}" for i in range(1, 8, 2)}
+    assert eng.search_prefix("doc", tags=["nope"], k=10).count() == 0
+
+
+def test_facet_tags_counts_and_order(spark, tagged_index):
+    """Facet counts cover the FULL match set (not top-k), order by
+    doc_count DESC then tag ASC, and honor size."""
+    eng = SearchEngine(spark, tagged_index)
+    got = [(r["tag"], r["doc_count"]) for r in eng.facet_tags("shared").collect()]
+    assert got == [("all", 8), ("p0", 4), ("p1", 4)]
+    # a parity-restricted query counts only matching docs; ties break by tag
+    got_red = [(r["tag"], r["doc_count"]) for r in eng.facet_tags("red").collect()]
+    assert got_red == [("all", 4), ("p0", 4)]
+    # size bounds the row count after ordering
+    got_1 = [(r["tag"], r["doc_count"]) for r in eng.facet_tags("shared", size=1).collect()]
+    assert got_1 == [("all", 8)]
+    # no match → no facet rows
+    assert eng.facet_tags("zzzmissing").count() == 0
+
+
+def test_facet_tags_without_tag_sidecar(spark, tmp_index_root):
+    """An index built with no tags answers facets with an empty frame."""
+    docs = spark.createDataFrame(
+        [("nt://0", _EPOCH, None, "x\n\nalpha", "en"),
+         ("nt://1", _EPOCH, None, "y\n\nalpha", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    idx = f"{tmp_index_root}/notag_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, None, idx, analyzer_lang="en", docs_per_shard=4)
+    eng = SearchEngine(spark, idx)
+    out = eng.facet_tags("alpha")
+    assert out.columns == ["tag", "doc_count"]
+    assert out.count() == 0

@@ -262,3 +262,44 @@ def test_invalid_json_body_400(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 400
+
+
+def test_prefix_dsl_extension(served):
+    """must.prefix.content.value routes to search_prefix and returns the
+    same hits as the engine API (flagged extension past handlers.go)."""
+    base, eng = served
+    dsl = {"query": {"bool": {"must": {"prefix": {"content": {"value": "respo"}}}}}}
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    hits = body["hits"]["hits"]
+    direct = eng.search_prefix("respo", k=10).collect()
+    assert hits and [h["_id"] for h in hits] == [
+        f"d{int(r['doc_id']):x}" for r in direct
+    ]
+    # prefix composes with a tags filter but not with match_phrase/aggs
+    both = {"query": {"bool": {
+        "must": {"prefix": {"content": {"value": "re"}}}}},
+        "aggs": {"t": {"terms": {"field": "tags"}}}}
+    code, body = _post(f"{base}/indexes/default/_search", both)
+    assert code == 400 and "prefix" in body["message"]
+
+
+def test_terms_aggs_over_tags(served):
+    """ES terms aggregation attaches an aggregations section whose
+    buckets equal facet_tags over the same query."""
+    base, eng = served
+    dsl = {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}},
+        "aggs": {"by_tag": {"terms": {"field": "tags", "size": 5}}},
+    }
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    buckets = body["aggregations"]["by_tag"]["buckets"]
+    exp = [(r["tag"], r["doc_count"])
+           for r in eng.facet_tags("request", size=5).collect()]
+    assert buckets and [(b["key"], b["doc_count"]) for b in buckets] == exp
+    # only terms-over-tags is supported; anything else is a loud 400
+    bad = dict(dsl, aggs={"x": {"terms": {"field": "lang"}}})
+    code, body = _post(f"{base}/indexes/default/_search", bad)
+    assert code == 400 and "tags" in body["message"]

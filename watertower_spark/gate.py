@@ -1320,6 +1320,61 @@ SELECT doc_id, text FROM documents WHERE doc_id = 42
 """
 
 
+def q_engine_prefix(spark, sf_dir):
+    """Prefix (wildcard ``s*``) BM25 top-10 vs a full SQL reconstruction:
+    the oracle expands the term dictionary on LIKE 's%' with the SAME cap
+    rule (top-50 by df DESC, term ASC — here the synthetic vocabulary has
+    six s-terms, so expansion is exact), then scores the expanded set
+    disjunctively with the BM25 form.  A pass certifies dictionary
+    expansion, per-expanded-term global df, and disjunctive scoring in
+    one result."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_prefix("s", k=200)
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_PREFIX = TOK_CTE + f"""
+, pterms AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE 's%'
+  GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM pterms) GROUP BY doc_id, term
+), wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - pterms.df + 0.5) / (pterms.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN pterms USING (term) JOIN wc USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_facet_tags(spark, sf_dir):
+    """ES terms-aggregation facet: per-tag doc counts over the docs
+    matching the parity query 'table' (SearchEngine.facet_tags).  The
+    oracle recomputes match set + per-source counts relationally; a pass
+    certifies the tag-blob decode, the match join, and the count/order/
+    limit contract."""
+    eng = _engine(spark, sf_dir)
+    return eng.facet_tags("table", size=10)
+
+
+ORACLE_FACET_TAGS = TOK_CTE + """
+, hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT source AS tag, count(*) AS doc_count
+FROM documents JOIN hits USING (doc_id)
+GROUP BY source
+ORDER BY doc_count DESC, tag ASC LIMIT 10
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs among vec_id < 150, verified by
     exact cosine.  LSH affects recall, so membership can't be oracled
@@ -1583,6 +1638,8 @@ QUERIES: dict = {
     "engine_bm25_or_tag": (q_engine_bm25_or_tag, ORACLE_ENGINE_BM25_OR_TAG),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
+    "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),
+    "facet_tags": (q_facet_tags, ORACLE_FACET_TAGS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_EMBEDDING_KNN),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_EMBEDDING_KNN),

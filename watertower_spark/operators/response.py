@@ -41,14 +41,25 @@ def _source_doc(row) -> dict:
 
 def search_response(engine, search_word: str, tags: list | None = None,
                     lang: str = "", mode: str = "bm25", k: int | None = 10,
-                    operator: str = "and", index_name: str = "default") -> dict:
+                    operator: str = "and", index_name: str = "default",
+                    prefix: str | None = None, max_expansions: int = 50,
+                    aggs: dict | None = None) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
-    (entity.go:26-33)."""
+    (entity.go:26-33).  Extensions beyond the reference's surface (both
+    flagged; the reference DSL is match_phrase + terms filter only):
+    ``prefix`` routes to ``SearchEngine.search_prefix`` (wildcard
+    ``term*`` BM25 top-k); ``aggs`` runs ES ``terms`` aggregations over
+    the ``tags`` field via ``SearchEngine.facet_tags`` and attaches an
+    ``aggregations`` section with the standard buckets shape."""
     t0 = time.time()
-    rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
-                         operator=operator).collect()
+    if prefix is not None:
+        rows = engine.search_prefix(prefix, tags, k=k or 10,
+                                    max_expansions=max_expansions).collect()
+    else:
+        rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
+                             operator=operator).collect()
     took_ms = int((time.time() - t0) * 1000)
     hits = [
         {
@@ -61,7 +72,7 @@ def search_response(engine, search_word: str, tags: list | None = None,
         for r in rows
     ]
     max_score = max((h["_score"] for h in hits), default=0.0)
-    return {
+    resp = {
         "took": took_ms,
         "timed_out": False,
         "_shards": None,
@@ -71,3 +82,24 @@ def search_response(engine, search_word: str, tags: list | None = None,
             "total": {"value": len(hits), "relation": ""},
         },
     }
+    if aggs:
+        resp["aggregations"] = {}
+        for name, spec in aggs.items():
+            terms = (spec or {}).get("terms") or {}
+            if terms.get("field") != "tags":
+                raise ValueError(
+                    f"aggs '{name}': only terms aggregations over the "
+                    f"'tags' field are supported"
+                )
+            size = int(terms.get("size") or 10)
+            buckets = [
+                {"key": r["tag"], "doc_count": int(r["doc_count"])}
+                for r in engine.facet_tags(search_word, tags, lang=lang,
+                                           size=size).collect()
+            ]
+            resp["aggregations"][name] = {
+                "doc_count_error_upper_bound": 0,
+                "sum_other_doc_count": 0,
+                "buckets": buckets,
+            }
+    return resp

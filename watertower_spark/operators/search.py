@@ -729,7 +729,6 @@ class SearchEngine:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
         stay conjunctive (ES bool-filter semantics)."""
         from watertower_spark.analyzers import analyze_query
-        from .wand import make_or_kernel
 
         spark = self.spark
         default_lang = self.manifest.get("default_lang") or ""
@@ -742,7 +741,6 @@ class SearchEngine:
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
-        sel = self.postings.where(F.col("term").isin(terms))
         resolved = self._resolve_terms(terms)
         df_global = {t: v[0] for t, v in resolved.items() if v is not None}
         cand_shards: set = set()
@@ -751,7 +749,124 @@ class SearchEngine:
                 cand_shards.update(v[1])
         if not df_global:  # no query term exists anywhere (OR → empty)
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        return self._run_or(query_tokens, df_global, cand_shards, tags, k,
+                            materialize)
 
+    def search_prefix(self, prefix: str, tags: list | None = None,
+                      k: int = 10, max_expansions: int = 50,
+                      materialize: bool = True) -> DataFrame:
+        """Prefix (``term*``) BM25 top-k — the Lucene/ES prefix query
+        re-expressed for the sharded index; the reference engine has no
+        wildcard path (int.go is exact-term conjunctive only), so this is
+        a flagged extension using the same posting machinery.
+
+        Expansion happens against the TERM DICTIONARY, never the corpus:
+        term_stats holds one row per distinct term (tiny vs postings), so
+        the prefix scan is a narrow filter over it, capped at
+        ``max_expansions`` terms by (df DESC, term ASC) — deterministic,
+        preferring the terms that match the most documents, like ES's
+        ``top_terms_N`` rewrite.  The expanded set then runs through the
+        disjunctive maxscore kernel exactly as ``operator='or'`` (each
+        matched doc scored by BM25 over the expanded terms it contains;
+        filter tags stay conjunctive).
+
+        Following the Lucene convention, the prefix is lowercased but NOT
+        stemmed/analyzed (a stemmed prefix would miss surface forms the
+        index never stemmed — multi-term queries skip analysis).  The cap
+        trades recall on pathological prefixes (single letters over a web
+        vocabulary) for a bounded driver expansion list and a bounded
+        kernel fan-in; at 100 TB the dictionary scan stays a metadata-
+        sized job and no step depends on corpus row count.
+        """
+        spark = self.spark
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        prefix = (prefix or "").strip().lower().rstrip("*")
+        tags = list(tags or [])
+        if not prefix or (tags and self.tags is None):
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        if self.term_stats is not None:
+            dic = self.term_stats
+        else:  # pre-term_stats index: derive the dictionary per query
+            dic = (
+                self.postings.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.collect_set("shard").alias("shards"))
+            )
+        rows = (
+            dic.where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions)
+            .collect()
+        )
+        if not rows:
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        query_tokens = {r["term"]: [0] for r in rows}
+        df_global = {r["term"]: int(r["df"]) for r in rows}
+        cand_shards: set = set()
+        for r in rows:
+            cand_shards.update(r["shards"])
+        for r in rows:  # expansion rows double as warm term-stat cache
+            self._stats_cache.setdefault(r["term"], (int(r["df"]), list(r["shards"])))
+        return self._run_or(query_tokens, df_global, cand_shards, tags, k,
+                            materialize)
+
+    def facet_tags(self, search_word: str, tags: list | None = None,
+                   lang: str = "", size: int = 10) -> DataFrame:
+        """ES-style ``terms`` aggregation over the tag sidecar: for every
+        tag, how many documents MATCHING the query carry it — the facet
+        row a search UI renders next to results.  Returns (tag,
+        doc_count) ordered doc_count DESC, tag ASC, limited to ``size``.
+        The reference has no aggregation surface (FindTags lists a doc's
+        tags, database.go; nothing counts over a result set) — flagged
+        extension.
+
+        Physical plan: the match set comes from the parity search
+        (conjunctive + phrase, UNBOUNDED — facets must count every match,
+        so no top-k); tag blobs decode per shard (narrow, one Arrow batch
+        per shard) into (doc_id, shard, tag) rows; one co-keyed join
+        against the match set and a map-side-combinable count per tag.
+        Nothing collects to the driver but the ``size``-bounded result.
+        """
+        spark = self.spark
+        if self.tags is None:
+            return spark.createDataFrame([], "tag string, doc_count long")
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False)
+
+        def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+            from watertower_spark.functions import codec
+
+            out_doc: list = []
+            out_sh: list = []
+            out_tag: list = []
+            for tag, sh, blob in zip(pdf["tag"], pdf["shard"], pdf["doc_blob"]):
+                ids = codec.decode_sorted(blob)
+                out_doc.extend(int(d) for d in ids)
+                out_sh.extend([int(sh)] * ids.size)
+                out_tag.extend([tag] * ids.size)
+            return pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                                 "shard": pd.Series(out_sh, dtype="int32"),
+                                 "tag": pd.Series(out_tag, dtype="object")})
+
+        tag_rows = self.tags.groupBy("shard").applyInPandas(
+            unpack, "doc_id long, shard int, tag string"
+        )
+        return (
+            tag_rows.join(res.select("doc_id", "shard"), ["doc_id", "shard"])
+            .groupBy("tag").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("tag").asc())
+            .limit(size)
+        )
+
+    def _run_or(self, query_tokens: dict, df_global: dict, cand_shards: set,
+                tags: list, k: int, materialize: bool) -> DataFrame:
+        """Shared disjunctive execution: one grouped exchange (postings ∪
+        tags ∪ dense dl arrays) → per-shard maxscore kernel → global
+        top-k.  Callers supply resolved per-term global df (term_stats)
+        and the candidate shard set."""
+        from .wand import make_or_kernel
+
+        terms = sorted(query_tokens)
+        sel = self.postings.where(F.col("term").isin(terms))
         groups_df = sel.select(
             F.lit("term").alias("kind"), F.col("term").alias("name"),
             "shard", "df", "doc_blob", "tf_blob", "block_off",

@@ -161,6 +161,11 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         dl = dl_of(cand)
         for _, idf, row in terms:
             ids, tfs = decode(row)
+            if ids.size == 0:
+                # every posting of this term failed the tag filter in
+                # this shard (routine under prefix expansion: a rare
+                # expanded term + a selective tag) — contributes nothing
+                continue
             idx = np.searchsorted(ids, cand)
             idx_c = np.minimum(idx, ids.size - 1)
             hit = ids[idx_c] == cand

@@ -70,18 +70,27 @@ from .operators.response import _source_doc, search_response
 
 
 def _parse_dsl(body: dict) -> tuple:
-    """(search_word, tags, lang) from the reference's bool query DSL."""
+    """(search_word, tags, lang, prefix, max_expansions) from the
+    reference's bool query DSL.  ``prefix`` is a flagged extension (the
+    reference only parses match_phrase + terms filter,
+    handlers.go:149-155): ``must.prefix.content.value`` routes to the
+    engine's wildcard path, with optional ``max_expansions``."""
     search_word, tags, lang = "", [], ""
+    prefix, max_expansions = None, 50
     q = (body or {}).get("query", {}).get("bool", {})
     must = q.get("must")
     if must:
         content = must.get("match_phrase", {}).get("content", {})
         search_word = content.get("query") or ""
         lang = content.get("analyzer") or ""
+        pfx = must.get("prefix", {}).get("content", {})
+        if pfx:
+            prefix = pfx.get("value") or ""
+            max_expansions = int(pfx.get("max_expansions") or 50)
     filt = q.get("filter")
     if filt:
         tags = list(filt.get("terms", {}).get("tags") or [])
-    return search_word, tags, lang
+    return search_word, tags, lang, prefix, max_expansions
 
 
 def _parse_hex_id(doc_id: str) -> int | None:
@@ -174,12 +183,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, search_response(
                 eng, q, mode="parity", k=None, index_name=index))
             return
-        search_word, tags, lang = _parse_dsl(body)
+        search_word, tags, lang, prefix, max_exp = _parse_dsl(body)
+        aggs = (body or {}).get("aggs") or (body or {}).get("aggregations")
         mode = query.get("mode", ["parity"])[0]
-        k = int(query.get("k", [0])[0]) or (10 if mode == "bm25" else None)
-        self._send(200, search_response(
-            eng, search_word, tags, lang=lang, mode=mode, k=k,
-            index_name=index))
+        k = int(query.get("k", [0])[0]) or (
+            10 if (mode == "bm25" or prefix is not None) else None
+        )
+        if prefix is not None and (search_word or aggs):
+            self._send(400, {
+                "message": "prefix query composes with a tags filter only "
+                           "(no match_phrase, no aggs)"
+            })
+            return
+        try:
+            self._send(200, search_response(
+                eng, search_word, tags, lang=lang, mode=mode, k=k,
+                index_name=index, prefix=prefix, max_expansions=max_exp,
+                aggs=aggs))
+        except ValueError as exc:  # unsupported aggs spec
+            self._send(400, {"message": str(exc)[:500]})
 
     # ----------------------------------------------------------- doc GETs
 
