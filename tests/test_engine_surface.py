@@ -413,3 +413,67 @@ def test_facet_tags_without_tag_sidecar(spark, tmp_index_root):
     out = eng.facet_tags("alpha")
     assert out.columns == ["tag", "doc_count"]
     assert out.count() == 0
+
+
+def test_search_fuzzy_expansion_and_cap(spark, tagged_index):
+    """Fuzzy expansion scans the dictionary with levenshtein <= d; cap
+    order is (distance ASC, df DESC, term ASC)."""
+    eng = SearchEngine(spark, tagged_index)
+    # 'rad' ~1~ 'red' → the four even docs
+    res = eng.search_fuzzy("rad", max_edits=1, k=10).collect()
+    assert {r["url"] for r in res} == {f"tg://{i:03d}" for i in range(0, 8, 2)}
+    # exact word still matches at distance 0
+    assert len(eng.search_fuzzy("red", max_edits=1, k=10).collect()) == 4
+    # cap keeps distance-0 first, then df/term order: 'doc1' + 'doc0'
+    capped = eng.search_fuzzy("doc1", max_edits=1, k=10, max_expansions=2).collect()
+    assert {r["url"] for r in capped} == {"tg://000", "tg://001"}
+    # no dictionary term within distance → empty
+    assert eng.search_fuzzy("qqqqqq", max_edits=1, k=5).count() == 0
+    # conjunctive tag filter
+    odd = eng.search_fuzzy("doc1", max_edits=1, tags=["p1"], k=10).collect()
+    assert {r["url"] for r in odd} == {f"tg://{i:03d}" for i in range(1, 8, 2)}
+
+
+def test_bm25_paging_slices_the_total_order(spark, tagged_index):
+    """offset/k pages tile the full ranking without overlap or gaps,
+    for both the AND kernel and the OR kernel."""
+    eng = SearchEngine(spark, tagged_index)
+    full = [(r["doc_id"], r["score"]) for r in
+            eng.search("shared", mode="bm25", k=8).collect()]
+    pages = []
+    for off in (0, 3, 6):
+        pages += [(r["doc_id"], r["score"]) for r in
+                  eng.search("shared", mode="bm25", k=3, offset=off).collect()]
+    assert pages == full
+    # OR path pages the same way
+    full_or = [r["doc_id"] for r in
+               eng.search("shared red", mode="bm25", operator="or", k=8).collect()]
+    paged_or = []
+    for off in (0, 4):
+        paged_or += [r["doc_id"] for r in
+                     eng.search("shared red", mode="bm25", operator="or",
+                                k=4, offset=off).collect()]
+    assert paged_or == full_or
+    # paging past the end is empty, not an error
+    assert eng.search("shared", mode="bm25", k=5, offset=100).count() == 0
+
+
+def test_count_matches_parity_cardinality(spark, tagged_index):
+    eng = SearchEngine(spark, tagged_index)
+    assert eng.count("shared") == 8
+    assert eng.count("red") == 4
+    assert eng.count("shared", tags=["p1"]) == 4
+    assert eng.count("nosuchword") == 0
+
+
+def test_index_stats_shape(spark, tagged_index):
+    eng = SearchEngine(spark, tagged_index)
+    st = eng.stats()
+    assert st["doc_count"] == 8
+    assert st["n_shards"] == 3
+    assert st["degraded_shards"] == []
+    assert st["size_in_bytes"] > 0
+    for t in ("postings", "doc_store", "doc_stats", "doc_len", "tags",
+              "doc_map", "term_stats"):
+        assert st["tables"][t] > 0, t
+    assert st["size_in_bytes"] == sum(st["tables"].values())

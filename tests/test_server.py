@@ -303,3 +303,36 @@ def test_terms_aggs_over_tags(served):
     bad = dict(dsl, aggs={"x": {"terms": {"field": "lang"}}})
     code, body = _post(f"{base}/indexes/default/_search", bad)
     assert code == 400 and "tags" in body["message"]
+
+
+def test_count_and_stats_routes(served):
+    base, eng = served
+    dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "request"}}}}}}
+    code, body = _post(f"{base}/indexes/default/_count", dsl)
+    assert code == 200 and body == {"count": eng.count("request")}
+    # _count rejects prefix queries loudly
+    code, body = _post(f"{base}/indexes/default/_count", {
+        "query": {"bool": {"must": {"prefix": {"content": {"value": "re"}}}}}})
+    assert code == 400
+    code, st = _get(f"{base}/indexes/default/_stats")
+    assert code == 200
+    assert st["doc_count"] == 7 and st["size_in_bytes"] > 0
+    assert st["tables"]["postings"] > 0
+
+
+def test_from_size_paging_over_http(served):
+    base, eng = served
+    dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "request"}}}}}}
+    full = [f"d{int(r['doc_id']):x}" for r in
+            eng.search("request", mode="bm25", k=6).collect()]
+    paged = []
+    for frm in (0, 2, 4):
+        code, body = _post(
+            f"{base}/indexes/default/_search?mode=bm25",
+            dict(dsl, **{"from": frm, "size": 2}),
+        )
+        assert code == 200
+        paged += [h["_id"] for h in body["hits"]["hits"]]
+    assert paged == full

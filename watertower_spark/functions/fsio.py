@@ -222,3 +222,26 @@ def read_json(path: str) -> dict:
 
 def write_json(path: str, obj: dict) -> None:
     write_text(path, json.dumps(obj, indent=1))
+
+
+def dir_size(path: str) -> int:
+    """Total bytes under ``path`` (0 when missing).
+
+    Local bare paths walk the tree; scheme'd URIs use one Hadoop
+    ContentSummary call (object-store safe — a single LIST per table,
+    never a per-file round trip)."""
+    if not _is_remote(path):
+        if not os.path.exists(path):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass  # file vanished mid-walk (concurrent compaction)
+        return total
+    _jvm, fs, jpath = _hadoop(path)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())

@@ -1356,6 +1356,88 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_engine_fuzzy(spark, sf_dir):
+    """Fuzzy (edit-distance ≤ 1) BM25 top-10 for the misspelling
+    'scann' vs a full SQL reconstruction: the oracle expands the
+    dictionary with levenshtein(term, 'scann') <= 1 under the SAME cap
+    rule (distance ASC, df DESC, term ASC, top-50), then scores the
+    expansion disjunctively.  A pass certifies dictionary-scan fuzzy
+    matching, the deterministic expansion order, and the scoring."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_fuzzy("scann", max_edits=1, k=200)
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_FUZZY = TOK_CTE + f"""
+, pterms AS (
+  SELECT term, count(DISTINCT doc_id) AS df, levenshtein(term, 'scann') AS dist
+  FROM tok GROUP BY term
+  HAVING levenshtein(term, 'scann') <= 1
+  ORDER BY dist ASC, df DESC, term ASC LIMIT 50
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM pterms) GROUP BY doc_id, term
+), wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - pterms.df + 0.5) / (pterms.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN pterms USING (term) JOIN wc USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_engine_paging(spark, sf_dir):
+    """ES from/size paging: the SECOND page of 10 for the single-term
+    BM25 query 'table' (offset=10, k=10) vs SQL OFFSET/LIMIT under the
+    same (score DESC, doc_id ASC) total order.  A pass certifies that
+    per-shard kernels keep offset+k candidates and the global slice is
+    exact — page 2 equals rows 11-20 of the full ranking."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("table", None, mode="bm25", k=10, offset=10)
+    return res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+
+
+ORACLE_ENGINE_PAGING = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'table' GROUP BY doc_id
+), df AS (SELECT count(*) AS df FROM tf),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)), 6) AS score
+FROM tf JOIN wc USING (doc_id), df, stats
+ORDER BY ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         * ({BM25_K1} + 1.0) * tf
+         / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)) DESC,
+         doc_id ASC
+LIMIT 10 OFFSET 10
+"""
+
+
+def q_engine_count(spark, sf_dir):
+    """ES _count: match count of the AND+phrase query 'data table'
+    without materialization, vs the SQL adjacency count."""
+    eng = _engine(spark, sf_dir)
+    n = eng.count("data table")
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+ORACLE_ENGINE_COUNT = TOK_CTE + """
+SELECT count(DISTINCT a.doc_id) AS cnt
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'data' AND b.term = 'table'
+"""
+
+
 def q_facet_tags(spark, sf_dir):
     """ES terms-aggregation facet: per-tag doc counts over the docs
     matching the parity query 'table' (SearchEngine.facet_tags).  The
@@ -1639,6 +1721,9 @@ QUERIES: dict = {
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),
+    "engine_fuzzy": (q_engine_fuzzy, ORACLE_ENGINE_FUZZY),
+    "engine_paging": (q_engine_paging, ORACLE_ENGINE_PAGING),
+    "engine_count": (q_engine_count, ORACLE_ENGINE_COUNT),
     "facet_tags": (q_facet_tags, ORACLE_FACET_TAGS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_EMBEDDING_KNN),

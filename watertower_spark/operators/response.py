@@ -43,7 +43,7 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     lang: str = "", mode: str = "bm25", k: int | None = 10,
                     operator: str = "and", index_name: str = "default",
                     prefix: str | None = None, max_expansions: int = 50,
-                    aggs: dict | None = None) -> dict:
+                    aggs: dict | None = None, offset: int = 0) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
@@ -56,10 +56,11 @@ def search_response(engine, search_word: str, tags: list | None = None,
     t0 = time.time()
     if prefix is not None:
         rows = engine.search_prefix(prefix, tags, k=k or 10,
-                                    max_expansions=max_expansions).collect()
+                                    max_expansions=max_expansions,
+                                    offset=offset).collect()
     else:
         rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
-                             operator=operator).collect()
+                             operator=operator, offset=offset).collect()
     took_ms = int((time.time() - t0) * 1000)
     hits = [
         {

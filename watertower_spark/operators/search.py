@@ -540,11 +540,20 @@ class SearchEngine:
         k: int | None = None,
         materialize: bool = True,
         operator: str = "and",
+        offset: int = 0,
     ) -> DataFrame:
         """Reference Search() semantics (mode='parity') or BM25 top-k
         (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
         switches to disjunctive top-k with vectorized maxscore pruning.
         Returns a DataFrame ordered by the mode's contract.
+
+        ``offset`` pages BM25 results ES-style (``from``/``size``):
+        page n of size k is ``k=k, offset=n*k``.  The per-shard kernels
+        keep offset+k candidates (deep paging costs what it costs —
+        the standard ES trade) and the global offset/limit slices the
+        merged order; determinism comes from the (score DESC, doc_id
+        ASC) total order.  Parity mode is unbounded by contract and
+        ignores offset.
 
         ``search_word`` starting with ``unique_key:`` switches to the
         reference's exact-key lookup path (webapi/restapi/handlers.go:
@@ -557,7 +566,7 @@ class SearchEngine:
             if mode != "bm25":
                 raise ValueError("operator='or' supports mode='bm25' only")
             return self._search_or(search_word, list(tags or []), lang,
-                                   k or 10, materialize)
+                                   k or 10, materialize, offset=offset)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -657,9 +666,10 @@ class SearchEngine:
         # per-tag global presence already checked; per-shard AND happens in
         # the kernel.  Tags present globally but absent in a shard must veto
         # that shard: pass expected tag count via closure.
+        k_eff = (k + offset) if (k is not None and mode == "bm25") else k
         kernel = _make_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
-            float(self.manifest["avgdl"]), mode, k, n_tags=len(set(tags)),
+            float(self.manifest["avgdl"]), mode, k_eff, n_tags=len(set(tags)),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
         )
         results = groups_df.groupBy("shard").applyInPandas(
@@ -668,6 +678,8 @@ class SearchEngine:
 
         if mode == "bm25":
             results = results.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            if offset:
+                results = results.offset(offset)
             if k is not None:
                 results = results.limit(k)
         else:
@@ -725,7 +737,7 @@ class SearchEngine:
         )
 
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
-                   materialize: bool) -> DataFrame:
+                   materialize: bool, offset: int = 0) -> DataFrame:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
         stay conjunctive (ES bool-filter semantics)."""
         from watertower_spark.analyzers import analyze_query
@@ -750,11 +762,11 @@ class SearchEngine:
         if not df_global:  # no query term exists anywhere (OR → empty)
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
         return self._run_or(query_tokens, df_global, cand_shards, tags, k,
-                            materialize)
+                            materialize, offset=offset)
 
     def search_prefix(self, prefix: str, tags: list | None = None,
                       k: int = 10, max_expansions: int = 50,
-                      materialize: bool = True) -> DataFrame:
+                      materialize: bool = True, offset: int = 0) -> DataFrame:
         """Prefix (``term*``) BM25 top-k — the Lucene/ES prefix query
         re-expressed for the sharded index; the reference engine has no
         wildcard path (int.go is exact-term conjunctive only), so this is
@@ -807,7 +819,77 @@ class SearchEngine:
         for r in rows:  # expansion rows double as warm term-stat cache
             self._stats_cache.setdefault(r["term"], (int(r["df"]), list(r["shards"])))
         return self._run_or(query_tokens, df_global, cand_shards, tags, k,
-                            materialize)
+                            materialize, offset=offset)
+
+    def search_fuzzy(self, word: str, tags: list | None = None,
+                     max_edits: int = 1, k: int = 10,
+                     max_expansions: int = 50,
+                     materialize: bool = True, offset: int = 0) -> DataFrame:
+        """Fuzzy single-word BM25 top-k — the Lucene/ES fuzzy query
+        re-expressed for the sharded index (the reference has no fuzzy
+        path; flagged extension).
+
+        Expansion is a TERM-DICTIONARY scan, never a corpus scan:
+        term_stats (one row per distinct term) is filtered by a cheap
+        codegen'd length guard (|len(term) − len(word)| ≤ max_edits —
+        an edit can change length by at most one) and then the built-in
+        ``levenshtein(term, word) ≤ max_edits`` predicate, both
+        JVM-side.  Matches are capped at ``max_expansions`` by
+        (distance ASC, df DESC, term ASC) — closest first, then most
+        frequent, deterministic — and the expanded set runs through the
+        disjunctive maxscore kernel like ``operator='or'`` (plain BM25
+        per matched term, undiscounted by distance, so a SQL oracle can
+        reproduce scores bit-exactly; filter tags stay conjunctive).
+
+        Following the Lucene convention for multi-term queries the word
+        is lowercased but NOT stemmed.  At 100 TB the dictionary scan is
+        metadata-sized and the fan-in stays bounded by the cap.
+        """
+        spark = self.spark
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        word = (word or "").strip().lower()
+        tags = list(tags or [])
+        if not word or (tags and self.tags is None):
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        if self.term_stats is not None:
+            dic = self.term_stats
+        else:  # pre-term_stats index: derive the dictionary per query
+            dic = (
+                self.postings.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.collect_set("shard").alias("shards"))
+            )
+        lit = F.lit(word)
+        rows = (
+            dic.where(
+                (F.abs(F.length("term") - F.length(lit)) <= max_edits)
+                & (F.levenshtein("term", lit) <= max_edits)
+            )
+            .withColumn("dist", F.levenshtein("term", lit))
+            .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions)
+            .collect()
+        )
+        if not rows:
+            return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        query_tokens = {r["term"]: [0] for r in rows}
+        df_global = {r["term"]: int(r["df"]) for r in rows}
+        cand_shards: set = set()
+        for r in rows:
+            cand_shards.update(r["shards"])
+            self._stats_cache.setdefault(r["term"], (int(r["df"]), list(r["shards"])))
+        return self._run_or(query_tokens, df_global, cand_shards, tags, k,
+                            materialize, offset=offset)
+
+    def count(self, search_word: str, tags: list | None = None,
+              lang: str = "") -> int:
+        """Number of documents matching the conjunctive(+phrase) query —
+        the ES ``_count`` API.  Runs the parity kernel WITHOUT
+        materialization or ordering (no doc_store join, no sort), so the
+        cost is candidate generation alone; the count aggregate is
+        map-side-combinable per shard."""
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False)
+        return res.count()
 
     def facet_tags(self, search_word: str, tags: list | None = None,
                    lang: str = "", size: int = 10) -> DataFrame:
@@ -857,8 +939,39 @@ class SearchEngine:
             .limit(size)
         )
 
+    def stats(self) -> dict:
+        """Index statistics in an ES ``_stats``-ish shape: manifest
+        scalars (doc_count, n_shards, docs_per_shard, avgdl, versions)
+        plus per-table on-disk bytes.  Metadata-only — the manifest is
+        already loaded and byte totals are one LIST per table
+        (fsio.dir_size); no Spark job, no row scan."""
+        from watertower_spark.functions import fsio
+
+        from .index_build import table_path
+
+        m = self.manifest
+        tables: dict = {}
+        for t in ("postings", "doc_store", "doc_stats", "doc_len", "tags",
+                  "doc_map", "term_stats"):
+            p = (table_path(self.index_dir, m, t)
+                 if t in ("term_stats", "doc_map") else f"{self.index_dir}/{t}")
+            b = fsio.dir_size(p)
+            if b:
+                tables[t] = b
+        return {
+            "doc_count": int(m["doc_count"]),
+            "n_shards": int(m["n_shards"]),
+            "docs_per_shard": int(m["docs_per_shard"]),
+            "avgdl": float(m["avgdl"]),
+            "format_version": m.get("format_version"),
+            "size_in_bytes": sum(tables.values()),
+            "tables": tables,
+            "degraded_shards": list(self.degraded_shards),
+        }
+
     def _run_or(self, query_tokens: dict, df_global: dict, cand_shards: set,
-                tags: list, k: int, materialize: bool) -> DataFrame:
+                tags: list, k: int, materialize: bool,
+                offset: int = 0) -> DataFrame:
         """Shared disjunctive execution: one grouped exchange (postings ∪
         tags ∪ dense dl arrays) → per-shard maxscore kernel → global
         top-k.  Callers supply resolved per-term global df (term_stats)
@@ -902,14 +1015,15 @@ class SearchEngine:
         )
         kernel = make_or_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
-            float(self.manifest["avgdl"]), k, n_tags=len(set(tags)),
+            float(self.manifest["avgdl"]), k + offset, n_tags=len(set(tags)),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
         )
-        results = (
-            groups_df.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-        )
+        results = groups_df.groupBy("shard").applyInPandas(
+            kernel, schema=RESULT_SCHEMA
+        ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        if offset:
+            results = results.offset(offset)
+        results = results.limit(k)
         return self._materialize(results, "bm25", bounded=True) if materialize else results
 
     def _materialize(self, results: DataFrame, mode: str,

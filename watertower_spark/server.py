@@ -149,6 +149,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if verb == "_search" and len(parts) == 3:
                 self._search(index, eng, parsed, body)
+            elif verb == "_count" and len(parts) == 3:
+                self._count(index, eng, body)
+            elif verb == "_stats" and len(parts) == 3 and method == "GET":
+                self._send(200, eng.stats())
             elif verb == "_doc" and len(parts) == 4 and method == "GET":
                 self._get_doc(index, eng, parts[3])
             elif verb == "_source" and len(parts) == 4 and method == "GET":
@@ -186,7 +190,12 @@ class _Handler(BaseHTTPRequestHandler):
         search_word, tags, lang, prefix, max_exp = _parse_dsl(body)
         aggs = (body or {}).get("aggs") or (body or {}).get("aggregations")
         mode = query.get("mode", ["parity"])[0]
-        k = int(query.get("k", [0])[0]) or (
+        # ES-style paging: body from/size (query-param fallbacks); size
+        # doubles as k, paging applies to scored (bm25/prefix) modes
+        frm = int((body or {}).get("from") or query.get("from", [0])[0] or 0)
+        size = (body or {}).get("size") or query.get("size", [None])[0]
+        k = (int(size) if size is not None else 0) \
+            or int(query.get("k", [0])[0]) or (
             10 if (mode == "bm25" or prefix is not None) else None
         )
         if prefix is not None and (search_word or aggs):
@@ -199,9 +208,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, search_response(
                 eng, search_word, tags, lang=lang, mode=mode, k=k,
                 index_name=index, prefix=prefix, max_expansions=max_exp,
-                aggs=aggs))
+                aggs=aggs, offset=frm))
         except ValueError as exc:  # unsupported aggs spec
             self._send(400, {"message": str(exc)[:500]})
+
+    def _count(self, index, eng, body) -> None:
+        """ES ``_count``: match count for the same bool DSL, no
+        materialization, no top-k (GET or POST, like ES)."""
+        search_word, tags, lang, prefix, _ = _parse_dsl(body)
+        if prefix is not None:
+            self._send(400, {"message": "_count supports match_phrase + "
+                                        "terms filter only"})
+            return
+        self._send(200, {"count": eng.count(search_word, tags, lang=lang)})
 
     # ----------------------------------------------------------- doc GETs
 
