@@ -477,3 +477,24 @@ def test_index_stats_shape(spark, tagged_index):
               "doc_map", "term_stats"):
         assert st["tables"][t] > 0, t
     assert st["size_in_bytes"] == sum(st["tables"].values())
+
+
+def test_highlight_snippets(spark, tagged_index):
+    """Window snippets mark every analyzed-query-token match inside the
+    window around the first hit; stemming analyzers match surface forms
+    via their stems."""
+    eng = SearchEngine(spark, tagged_index)
+    rows = eng.highlight("shared", lang="en", k=3, window=2).collect()
+    assert [r["snippet"] for r in rows] == [
+        "t0 <em>shared</em> doc0 red",
+        "t1 <em>shared</em> doc1 blue",
+        "t2 <em>shared</em> doc2 red",
+    ]
+    # multi-term query: all matched tokens in the window are wrapped
+    rows2 = eng.highlight("red apple", lang="en", k=2, window=1).collect()
+    assert all(r["snippet"].endswith("<em>red</em> <em>apple</em>")
+               for r in rows2)
+    # the full materialized row rides along (text, lang, score)
+    assert {"doc_id", "url", "score", "text", "lang", "snippet"} <= set(
+        rows[0].asDict()
+    )

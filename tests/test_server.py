@@ -336,3 +336,21 @@ def test_from_size_paging_over_http(served):
         assert code == 200
         paged += [h["_id"] for h in body["hits"]["hits"]]
     assert paged == full
+
+
+def test_highlight_over_http(served):
+    base, eng = served
+    dsl = {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}},
+        "highlight": {"window": 3},
+    }
+    code, body = _post(f"{base}/indexes/default/_search?mode=bm25", dsl)
+    assert code == 200
+    hits = body["hits"]["hits"]
+    exp = {f"d{int(r['doc_id']):x}": r["snippet"] for r in
+           eng.highlight("request", k=10, window=3).collect()}
+    assert hits
+    for h in hits:
+        assert h["highlight"]["content"] == [exp[h["_id"]]]
+        assert "<em>" in h["highlight"]["content"][0]

@@ -1438,6 +1438,56 @@ WHERE a.term = 'data' AND b.term = 'table'
 """
 
 
+def q_engine_highlight(spark, sf_dir):
+    """ES-style highlighting: the top-10 BM25 hits for 'table' with a
+    5-token window snippet around the first match, matched tokens
+    wrapped in <em>.  The oracle reconstructs the ranking AND the
+    snippet relationally (list_position / list_slice / list_transform
+    over the whitespace token array with the gate analyzer's
+    normalization), so a pass certifies both the hit set and the exact
+    snippet string contract."""
+    eng = _engine(spark, sf_dir)
+    res = eng.highlight("table", k=10, window=5)
+    return res.select(_url_to_doc_id(F.col("url")), "snippet")
+
+
+ORACLE_ENGINE_HIGHLIGHT = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'table' GROUP BY doc_id
+), df AS (SELECT count(*) AS df FROM tf),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents),
+top10 AS (
+  SELECT doc_id
+  FROM tf JOIN wc USING (doc_id), df, stats
+  ORDER BY ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * ({BM25_K1} + 1.0) * tf
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)) DESC,
+           doc_id ASC
+  LIMIT 10
+),
+ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents JOIN top10 USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, w,
+         list_position(list_transform(w, x -> lower(regexp_replace(x, '[.,:"]+$', ''))), 'table') AS p,
+         len(w) AS n
+  FROM ws
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_slice(w, greatest(1, p - 5), least(n, p + 5)),
+           x -> CASE WHEN lower(regexp_replace(x, '[.,:"]+$', '')) = 'table'
+                     THEN '<em>' || x || '</em>' ELSE x END
+         ), ' ') AS snippet
+FROM pos
+"""
+
+
 def q_facet_tags(spark, sf_dir):
     """ES terms-aggregation facet: per-tag doc counts over the docs
     matching the parity query 'table' (SearchEngine.facet_tags).  The
@@ -1724,6 +1774,7 @@ QUERIES: dict = {
     "engine_fuzzy": (q_engine_fuzzy, ORACLE_ENGINE_FUZZY),
     "engine_paging": (q_engine_paging, ORACLE_ENGINE_PAGING),
     "engine_count": (q_engine_count, ORACLE_ENGINE_COUNT),
+    "engine_highlight": (q_engine_highlight, ORACLE_ENGINE_HIGHLIGHT),
     "facet_tags": (q_facet_tags, ORACLE_FACET_TAGS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_EMBEDDING_KNN),

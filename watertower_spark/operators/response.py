@@ -43,7 +43,8 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     lang: str = "", mode: str = "bm25", k: int | None = 10,
                     operator: str = "and", index_name: str = "default",
                     prefix: str | None = None, max_expansions: int = 50,
-                    aggs: dict | None = None, offset: int = 0) -> dict:
+                    aggs: dict | None = None, offset: int = 0,
+                    highlight: dict | None = None) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
@@ -58,6 +59,11 @@ def search_response(engine, search_word: str, tags: list | None = None,
         rows = engine.search_prefix(prefix, tags, k=k or 10,
                                     max_expansions=max_expansions,
                                     offset=offset).collect()
+    elif highlight is not None:
+        rows = engine.highlight(search_word, tags, lang=lang, mode=mode,
+                                k=k or 10,
+                                window=int(highlight.get("window") or 5)
+                                ).collect()
     else:
         rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
                              operator=operator, offset=offset).collect()
@@ -69,6 +75,10 @@ def search_response(engine, search_word: str, tags: list | None = None,
             "_type": "_doc",
             "_score": float(r["score"]),
             "_source": _source_doc(r),
+            **(
+                {"highlight": {"content": [r["snippet"]]}}
+                if highlight is not None else {}
+            ),
         }
         for r in rows
     ]

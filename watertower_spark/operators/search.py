@@ -939,6 +939,67 @@ class SearchEngine:
             .limit(size)
         )
 
+    def highlight(self, search_word: str, tags: list | None = None,
+                  lang: str = "", k: int = 10, window: int = 5,
+                  mode: str = "bm25") -> DataFrame:
+        """Top-k search with an ES-style highlighted snippet per hit
+        (flagged extension; the reference returns whole documents only).
+
+        Contract (deterministic, SQL-oracle-reproducible): the stored
+        text is whitespace-split; a token MATCHES when the index
+        analyzer's normalization of it (trailing ``.,:"`` strip +
+        lowercase, + stem for stemming analyzers) is one of the analyzed
+        query tokens.  The snippet is the ``window``-token neighborhood
+        each side of the FIRST matching token, with every matching token
+        inside it wrapped in ``<em>…</em>`` (original surface form
+        preserved); a doc with no whitespace-level match (possible only
+        for non-word analyzers) falls back to its first 2·window+1
+        tokens unmarked.  Snippeting runs as an Arrow batch over the
+        k-bounded materialized hits — never over the corpus.
+        """
+        from watertower_spark.analyzers import analyze_query, find_analyzer
+
+        default_lang = self.manifest.get("default_lang") or ""
+        analyzer_lang = self.manifest.get("analyzer_lang")
+        eff_lang = analyzer_lang or lang or default_lang
+        qtokens = set(analyze_query(search_word, eff_lang, default_lang))
+        res = self.search(search_word, tags, lang, mode=mode, k=k)
+        if not qtokens:
+            return res.withColumn("snippet", F.col("text"))
+
+        def norm_fn(lang_of_doc: str):
+            try:
+                return find_analyzer(analyzer_lang or lang_of_doc
+                                     or default_lang or "simple")
+            except KeyError:
+                # unregistered languages degrade to 'simple', mirroring
+                # the analysis pipeline's fallback
+                return find_analyzer("simple")
+
+        @F.pandas_udf("string")
+        def snip(text: pd.Series, doc_lang: pd.Series) -> pd.Series:
+            out = []
+            for t, dl in zip(text, doc_lang):
+                words = (t or "").split()
+                a = norm_fn(dl)
+                normed = [(a.splitter(w) or [""])[0] for w in words]
+                if a.stemmer is not None:
+                    normed = [a.stemmer(w) for w in normed]
+                hit = [i for i, nw in enumerate(normed) if nw in qtokens]
+                if hit:
+                    i0 = hit[0]
+                    lo, hi = max(0, i0 - window), min(len(words), i0 + window + 1)
+                else:
+                    lo, hi = 0, min(len(words), 2 * window + 1)
+                frag = [
+                    f"<em>{w}</em>" if normed[lo + j] in qtokens else w
+                    for j, w in enumerate(words[lo:hi])
+                ]
+                out.append(" ".join(frag))
+            return pd.Series(out, dtype="object")
+
+        return res.withColumn("snippet", snip(F.col("text"), F.col("lang")))
+
     def stats(self) -> dict:
         """Index statistics in an ES ``_stats``-ish shape: manifest
         scalars (doc_count, n_shards, docs_per_shard, avgdl, versions)

@@ -198,17 +198,18 @@ class _Handler(BaseHTTPRequestHandler):
             or int(query.get("k", [0])[0]) or (
             10 if (mode == "bm25" or prefix is not None) else None
         )
-        if prefix is not None and (search_word or aggs):
+        hl = (body or {}).get("highlight")
+        if prefix is not None and (search_word or aggs or hl):
             self._send(400, {
                 "message": "prefix query composes with a tags filter only "
-                           "(no match_phrase, no aggs)"
+                           "(no match_phrase, no aggs, no highlight)"
             })
             return
         try:
             self._send(200, search_response(
                 eng, search_word, tags, lang=lang, mode=mode, k=k,
                 index_name=index, prefix=prefix, max_expansions=max_exp,
-                aggs=aggs, offset=frm))
+                aggs=aggs, offset=frm, highlight=hl))
         except ValueError as exc:  # unsupported aggs spec
             self._send(400, {"message": str(exc)[:500]})
 
