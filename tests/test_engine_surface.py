@@ -498,3 +498,61 @@ def test_highlight_snippets(spark, tagged_index):
     assert {"doc_id", "url", "score", "text", "lang", "snippet"} <= set(
         rows[0].asDict()
     )
+
+
+def _pairs(rows):
+    return [(r["url"], round(r["score"], 9)) for r in rows]
+
+
+def test_must_not_term_exclusion_and_kernel(spark, tagged_index):
+    """ES bool.must_not over the AND kernel: excluded-term docs leave
+    the match set before scoring/top-k; survivors keep their exact
+    baseline scores (exclusion must never perturb scoring)."""
+    eng = SearchEngine(spark, tagged_index)
+    full = eng.search("shared", lang="en", mode="bm25", k=8).collect()
+    red_urls = {r["url"] for r in
+                eng.search("red", lang="en", mode="bm25", k=8).collect()}
+    got = eng.search("shared", lang="en", mode="bm25", k=8,
+                     exclude_words="red").collect()
+    assert _pairs(got) == [p for p in _pairs(full) if p[0] not in red_urls]
+    assert {r["url"] for r in got} == {f"tg://{i:03d}" for i in (1, 3, 5, 7)}
+    # parity mode + count() thread the exclusion too
+    assert eng.count("shared", lang="en", exclude_words="red") == 4
+    # a term that is both required and excluded ⇒ empty
+    assert eng.search("shared", lang="en", mode="bm25", k=8,
+                      exclude_words="shared").count() == 0
+    # excluding a term absent from the index is a no-op
+    same = eng.search("shared", lang="en", mode="bm25", k=8,
+                      exclude_words="zzzmissing").collect()
+    assert _pairs(same) == _pairs(full)
+
+
+def test_must_not_tag_exclusion_and_or_kernel(spark, tagged_index):
+    """Tag exclusion on the AND kernel, and word/tag exclusion on the
+    disjunctive maxscore kernel (exclusion applies at posting-decode
+    time, so θ pruning stays exact: surviving docs keep their exact
+    unexcluded scores)."""
+    eng = SearchEngine(spark, tagged_index)
+    # AND kernel, exclude the even-parity tag
+    got = eng.search("shared", lang="en", mode="bm25", k=8,
+                     exclude_tags=["p0"]).collect()
+    assert {r["url"] for r in got} == {f"tg://{i:03d}" for i in (1, 3, 5, 7)}
+    # a tag that is both filtered-on and excluded ⇒ empty
+    assert eng.search("shared", tags=["p1"], lang="en", mode="bm25", k=8,
+                      exclude_tags=["p1"]).count() == 0
+    # OR kernel with tag exclusion: odd docs keep identical scores
+    full_or = eng.search("shared red", lang="en", mode="bm25",
+                         operator="or", k=8).collect()
+    odd = [p for p in _pairs(full_or)
+           if int(p[0][5:]) % 2 == 1]
+    got_or = eng.search("shared red", lang="en", mode="bm25",
+                        operator="or", k=8, exclude_tags=["p0"]).collect()
+    assert _pairs(got_or) == odd
+    # OR kernel with word exclusion: the excluded term also leaves the
+    # scored disjunction, so survivors score over 'shared' alone
+    shared_only = {p[0]: p[1] for p in _pairs(
+        eng.search("shared", lang="en", mode="bm25", k=8).collect())}
+    got_w = eng.search("shared red", lang="en", mode="bm25",
+                       operator="or", k=8, exclude_words="red").collect()
+    assert {r["url"] for r in got_w} == {f"tg://{i:03d}" for i in (1, 3, 5, 7)}
+    assert all(round(r["score"], 9) == shared_only[r["url"]] for r in got_w)

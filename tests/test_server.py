@@ -354,3 +354,93 @@ def test_highlight_over_http(served):
     for h in hits:
         assert h["highlight"]["content"] == [exp[h["_id"]]]
         assert "<em>" in h["highlight"]["content"][0]
+
+
+def test_must_not_dsl_over_http(served):
+    """bool.must_not (flagged ES extension): match_phrase clauses
+    exclude analyzed terms, terms.tags clauses exclude tags; _search
+    and _count both honor it; unsupported clause shapes 400."""
+    base, eng = served
+    dsl = {"query": {"bool": {
+        "must": {"match_phrase": {"content": {"query": "request"}}},
+        "must_not": [
+            {"match_phrase": {"content": {"query": "server"}}},
+            {"terms": {"tags": ["WebDAV"]}},
+        ],
+    }}}
+    code, body = _post(f"{base}/indexes/default/_search?mode=bm25", dsl)
+    assert code == 200
+    got = [(h["_id"], round(h["_score"], 9)) for h in body["hits"]["hits"]]
+    want = [
+        (f"d{int(r['doc_id']):x}", round(r["score"], 9))
+        for r in eng.search("request", None, "en", mode="bm25", k=10,
+                            exclude_words="server",
+                            exclude_tags=["WebDAV"]).collect()
+    ]
+    assert got == want and got
+    # exclusion really removed something vs the unexcluded query
+    code, full = _post(f"{base}/indexes/default/_search?mode=bm25", {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}}})
+    assert len(full["hits"]["hits"]) > len(got)
+    # _count honors must_not
+    code, body = _post(f"{base}/indexes/default/_count", dsl)
+    assert code == 200
+    assert body == {"count": eng.count(
+        "request", exclude_words="server", exclude_tags=["WebDAV"])}
+    # unsupported must_not clause shape → loud 400
+    bad = {"query": {"bool": {"must_not": {"range": {"year": {"gte": 1}}}}}}
+    code, body = _post(f"{base}/indexes/default/_search", bad)
+    assert code == 400 and "must_not" in body["message"]
+    # must_not does not compose with aggs
+    code, body = _post(f"{base}/indexes/default/_search", dict(
+        dsl, aggs={"t": {"terms": {"field": "tags"}}}))
+    assert code == 400 and "must_not" in body["message"]
+
+
+def test_should_dsl_over_http(served):
+    """bool.should (flagged ES extension): with no must clause, the
+    should match_phrase clauses run the disjunctive maxscore kernel."""
+    base, eng = served
+    dsl = {"query": {"bool": {"should": [
+        {"match_phrase": {"content": {"query": "request"}}},
+        {"match_phrase": {"content": {"query": "server"}}},
+    ]}}}
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    got = [(h["_id"], round(h["_score"], 9)) for h in body["hits"]["hits"]]
+    want = [
+        (f"d{int(r['doc_id']):x}", round(r["score"], 9))
+        for r in eng.search("request server", None, "en", mode="bm25",
+                            operator="or", k=10).collect()
+    ]
+    assert got == want and got
+    # should + must_not compose (both kernel-side)
+    dsl2 = dict(dsl)
+    dsl2["query"] = {"bool": {**dsl["query"]["bool"],
+                              "must_not": {"terms": {"tags": ["WebDAV"]}}}}
+    code, body = _post(f"{base}/indexes/default/_search", dsl2)
+    assert code == 200
+    got2 = [(h["_id"], round(h["_score"], 9)) for h in body["hits"]["hits"]]
+    want2 = [
+        (f"d{int(r['doc_id']):x}", round(r["score"], 9))
+        for r in eng.search("request server", None, "en", mode="bm25",
+                            operator="or", k=10,
+                            exclude_tags=["WebDAV"]).collect()
+    ]
+    assert got2 == want2 and len(got2) < len(got)
+    # should + must → 400 (out of scope, loud)
+    bad = {"query": {"bool": {
+        "must": {"match_phrase": {"content": {"query": "request"}}},
+        "should": dsl["query"]["bool"]["should"],
+    }}}
+    code, body = _post(f"{base}/indexes/default/_search", bad)
+    assert code == 400 and "should" in body["message"]
+    # should in _count → 400
+    code, body = _post(f"{base}/indexes/default/_count", dsl)
+    assert code == 400
+    # non-match_phrase should clause → 400
+    code, body = _post(f"{base}/indexes/default/_search", {
+        "query": {"bool": {"should": [{"prefix": {"content": {
+            "value": "re"}}}]}}})
+    assert code == 400 and "should" in body["message"]

@@ -1293,6 +1293,68 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_engine_bm25_not(spark, sf_dir):
+    """Engine BM25 with ES bool.must_not term exclusion (flagged
+    extension; kernel-side exclusion before scoring/top-k): docs
+    matching 'merge' but NOT containing 'filter', top-10."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("merge", None, mode="bm25", exclude_words="filter")
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_BM25_NOT = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'filter')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_engine_or_not_tag(spark, sf_dir):
+    """Disjunctive BM25 with must_not TAG exclusion: OR over the scored
+    terms, docs carrying tag 'src3' excluded at posting-decode time
+    (so the maxscore θ bootstrap stays exact over the excluded
+    corpus)."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("scan vector", None, mode="bm25", operator="or",
+                     k=200, exclude_tags=["src3"])
+    return (
+        res.select(_url_to_doc_id(F.col("url")), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ENGINE_OR_NOT_TAG = TOK_CTE + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('scan', 'vector') GROUP BY doc_id, term
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents)
+SELECT doc_id,
+       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * ({BM25_K1} + 1.0) * tf
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+FROM tf JOIN df USING (term) JOIN wc USING (doc_id), stats
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src3')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_engine_phrase(spark, sf_dir):
     """Engine phrase verification kernel vs SQL adjacency."""
     eng = _engine(spark, sf_dir)
@@ -1768,6 +1830,8 @@ QUERIES: dict = {
     "engine_bm25": (q_engine_bm25, ORACLE_ENGINE_BM25),
     "engine_bm25_or": (q_engine_bm25_or, ORACLE_ENGINE_BM25_OR),
     "engine_bm25_or_tag": (q_engine_bm25_or_tag, ORACLE_ENGINE_BM25_OR_TAG),
+    "engine_bm25_not": (q_engine_bm25_not, ORACLE_ENGINE_BM25_NOT),
+    "engine_or_not_tag": (q_engine_or_not_tag, ORACLE_ENGINE_OR_NOT_TAG),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),

@@ -44,7 +44,9 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     operator: str = "and", index_name: str = "default",
                     prefix: str | None = None, max_expansions: int = 50,
                     aggs: dict | None = None, offset: int = 0,
-                    highlight: dict | None = None) -> dict:
+                    highlight: dict | None = None,
+                    exclude_words: str = "",
+                    exclude_tags: list | None = None) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
@@ -66,7 +68,9 @@ def search_response(engine, search_word: str, tags: list | None = None,
                                 ).collect()
     else:
         rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
-                             operator=operator, offset=offset).collect()
+                             operator=operator, offset=offset,
+                             exclude_words=exclude_words,
+                             exclude_tags=exclude_tags).collect()
     took_ms = int((time.time() - t0) * 1000)
     hits = [
         {

@@ -64,7 +64,7 @@ def _phrase_relative_positions(doc_positions: np.ndarray, query_positions: list)
 
 def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                  avgdl: float, mode: str, k: int | None, n_tags: int = 0,
-                 docs_per_shard: int = 0):
+                 docs_per_shard: int = 0, has_excl: bool = False):
     """Per-shard candidate generation + scoring kernel.
 
     SINGLE grouped input: postings + tag + doc-length rows for this
@@ -87,12 +87,18 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
 
         term_rows: dict = {}
         tag_blobs: list = []
+        not_rows: list = []
+        nottag_blobs: list = []
         dl_arr = None
         for row in groups_pdf.itertuples(index=False):
             if row.kind == "term":
                 term_rows[row.name] = row
             elif row.kind == "len":
                 dl_arr = np.frombuffer(row.doc_blob, dtype=np.int32)
+            elif row.kind == "not":
+                not_rows.append(row)
+            elif row.kind == "nottag":
+                nottag_blobs.append(row.doc_blob)
             else:
                 tag_blobs.append(row.doc_blob)
 
@@ -119,6 +125,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         # upper-bound order and stop when no block can beat the kth score.
         if (
             mode == "bm25" and k is not None and not tag_blobs
+            and not has_excl
             and len(query_tokens) == 1
             and len(next(iter(query_tokens.values()))) == 1
         ):
@@ -179,6 +186,7 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         # and stay sound under avgdl drift.
         if (
             mode == "bm25" and k is not None and not tag_blobs
+            and not has_excl
             and len(query_tokens) >= 2
         ):
             terms_by_df = sorted(term_rows, key=lambda t: int(term_rows[t].df))
@@ -364,6 +372,33 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         if cand is None or cand.size == 0:
             return empty
 
+        # must_not exclusion (ES bool semantics, flagged extension —
+        # the reference DSL is conjunctive-only): docs carrying ANY
+        # excluded term/tag leave the candidate set before the phrase
+        # filter, scoring and top-k, so exclusion can never be undone
+        # by a later stage.  Excluded-term postings decode ONLY the
+        # blocks whose id range overlaps a surviving candidate (same
+        # block-skip as the AND intersection); an excluded term/tag
+        # absent from this shard excludes nothing here.
+        if not_rows or nottag_blobs:
+            excl_parts = [codec.decode_sorted(b) for b in nottag_blobs]
+            for r in not_rows:
+                boff = np.frombuffer(r.block_off, dtype=np.int64)
+                blast = np.frombuffer(r.block_last, dtype=np.int64)
+                needed = np.unique(np.searchsorted(blast, cand, side="left"))
+                needed = needed[needed < blast.size]
+                if needed.size == 0:
+                    continue
+                ids, _ = codec.decode_doc_blocks(
+                    r.doc_blob, boff, int(r.df), needed, BS
+                )
+                excl_parts.append(ids)
+            if excl_parts:
+                ex = np.unique(np.concatenate(excl_parts))
+                cand = cand[~np.isin(cand, ex, assume_unique=True)]
+                if cand.size == 0:
+                    return empty
+
         def posting_locs(term, c):
             """candidates → (block, offset-within-block) posting coords."""
             ids, pidx = term_decoded[term]
@@ -541,6 +576,8 @@ class SearchEngine:
         materialize: bool = True,
         operator: str = "and",
         offset: int = 0,
+        exclude_words: str = "",
+        exclude_tags: list | None = None,
     ) -> DataFrame:
         """Reference Search() semantics (mode='parity') or BM25 top-k
         (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
@@ -559,6 +596,14 @@ class SearchEngine:
         reference's exact-key lookup path (webapi/restapi/handlers.go:
         100-145): the remainder is the unique key (our url), matched
         exactly, bypassing analysis and scoring entirely.
+
+        ``exclude_words`` / ``exclude_tags`` are ES ``bool.must_not``
+        semantics (flagged extension — the reference DSL is conjunctive-
+        only): a doc carrying ANY excluded analyzed term or ANY excluded
+        tag is removed from the match set before phrase filtering,
+        scoring and top-k.  A term that is both required and excluded
+        yields the empty result (nothing can satisfy both); excluded
+        terms/tags absent from the index exclude nothing.
         """
         if search_word and search_word.startswith("unique_key:"):
             return self.find_by_key(search_word[len("unique_key:"):])
@@ -566,7 +611,9 @@ class SearchEngine:
             if mode != "bm25":
                 raise ValueError("operator='or' supports mode='bm25' only")
             return self._search_or(search_word, list(tags or []), lang,
-                                   k or 10, materialize, offset=offset)
+                                   k or 10, materialize, offset=offset,
+                                   exclude_words=exclude_words,
+                                   exclude_tags=exclude_tags)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -576,9 +623,16 @@ class SearchEngine:
             search_word, analyzer_lang or lang, default_lang
         ) if search_word else {}
         tags = list(tags or [])
+        exclude_tags = list(exclude_tags or [])
+        excl_tokens = analyze_query(
+            exclude_words, analyzer_lang or lang, default_lang
+        ) if exclude_words else {}
 
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         if not query_tokens and not tags:
+            return self._materialize(empty, mode, bounded=True) if materialize else empty
+        if set(excl_tokens) & set(query_tokens) or (set(exclude_tags) & set(tags)):
+            # a required term/tag is also excluded ⇒ nothing can match
             return self._materialize(empty, mode, bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
@@ -638,6 +692,51 @@ class SearchEngine:
                     ],
                 )
             )
+        # must_not inputs ride the SAME exchange: excluded-term postings
+        # as kind='not' rows (shard-restricted to the AND candidate set —
+        # exclusion only matters where candidates can live) and excluded
+        # tags as kind='nottag' rows.  Terms/tags absent from the index
+        # resolve to nothing and exclude nothing.
+        has_excl = False
+        excl_terms = sorted(excl_tokens)
+        if excl_terms:
+            eres = self._resolve_terms(excl_terms)
+            present = [t for t in excl_terms if eres[t] is not None]
+            if terms:  # restrict to shards where candidates exist
+                present = [
+                    t for t in present
+                    if set(eres[t][1]) & cand_shards
+                ]
+            if present:
+                has_excl = True
+                not_sel = self.postings.where(F.col("term").isin(present))
+                if terms:
+                    not_sel = not_sel.where(
+                        F.col("shard").isin([int(s) for s in cand_shards])
+                    )
+                parts.append(
+                    not_sel.select(
+                        F.lit("not").alias("kind"), F.col("term").alias("name"),
+                        "shard", "df", "doc_blob", "tf_blob", "pos_blob",
+                        "block_off", "block_last", "block_tf_off",
+                        "block_pos_off", "block_max_tf", "block_min_dl",
+                    )
+                )
+        if exclude_tags and self.tags is not None:
+            has_excl = True
+            nottag_sel = self.tags.where(F.col("tag").isin(exclude_tags))
+            parts.append(
+                nottag_sel.select(
+                    F.lit("nottag").alias("kind"), F.col("tag").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "pos_blob", "block_off",
+                                  "block_last", "block_tf_off", "block_pos_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
         # BM25 needs per-doc lengths: the shard's dense dl array rides the
         # SAME exchange as the postings (kind='len' row, partition-pruned
         # to candidate shards) — no second cogroup input, no doc_stats
@@ -671,6 +770,7 @@ class SearchEngine:
             query_tokens, df_global, int(self.manifest["doc_count"]),
             float(self.manifest["avgdl"]), mode, k_eff, n_tags=len(set(tags)),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
+            has_excl=has_excl,
         )
         results = groups_df.groupBy("shard").applyInPandas(
             kernel, schema=RESULT_SCHEMA
@@ -737,9 +837,14 @@ class SearchEngine:
         )
 
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
-                   materialize: bool, offset: int = 0) -> DataFrame:
+                   materialize: bool, offset: int = 0,
+                   exclude_words: str = "",
+                   exclude_tags: list | None = None) -> DataFrame:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
-        stay conjunctive (ES bool-filter semantics)."""
+        stay conjunctive (ES bool-filter semantics); ``exclude_words``/
+        ``exclude_tags`` apply ES ``bool.must_not`` exclusion at posting-
+        decode time (before the maxscore θ bootstrap, so pruning stays
+        exact over the excluded corpus)."""
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -748,8 +853,17 @@ class SearchEngine:
         query_tokens = analyze_query(
             search_word, analyzer_lang or lang, default_lang
         ) if search_word else {}
+        excl_tokens = analyze_query(
+            exclude_words, analyzer_lang or lang, default_lang
+        ) if exclude_words else {}
+        exclude_tags = list(exclude_tags or [])
+        # an excluded term knocks itself out of the scored disjunction:
+        # any doc containing it is excluded, so it can never contribute
+        query_tokens = {t: p for t, p in query_tokens.items()
+                        if t not in excl_tokens}
         empty = spark.createDataFrame([], RESULT_SCHEMA)
-        if not query_tokens or (tags and self.tags is None):
+        if not query_tokens or (tags and self.tags is None) \
+                or (set(exclude_tags) & set(tags)):
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
 
         terms = sorted(query_tokens)
@@ -761,8 +875,17 @@ class SearchEngine:
                 cand_shards.update(v[1])
         if not df_global:  # no query term exists anywhere (OR → empty)
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
+        excl_terms = None
+        if excl_tokens:
+            eres = self._resolve_terms(sorted(excl_tokens))
+            excl_terms = [
+                t for t, v in eres.items()
+                if v is not None and set(v[1]) & cand_shards
+            ] or None
         return self._run_or(query_tokens, df_global, cand_shards, tags, k,
-                            materialize, offset=offset)
+                            materialize, offset=offset,
+                            excl_terms=excl_terms,
+                            excl_tags=exclude_tags or None)
 
     def search_prefix(self, prefix: str, tags: list | None = None,
                       k: int = 10, max_expansions: int = 50,
@@ -881,14 +1004,17 @@ class SearchEngine:
                             materialize, offset=offset)
 
     def count(self, search_word: str, tags: list | None = None,
-              lang: str = "") -> int:
+              lang: str = "", exclude_words: str = "",
+              exclude_tags: list | None = None) -> int:
         """Number of documents matching the conjunctive(+phrase) query —
         the ES ``_count`` API.  Runs the parity kernel WITHOUT
         materialization or ordering (no doc_store join, no sort), so the
         cost is candidate generation alone; the count aggregate is
-        map-side-combinable per shard."""
+        map-side-combinable per shard.  ``exclude_words``/``exclude_tags``
+        apply ES ``bool.must_not`` exclusion before counting."""
         res = self.search(search_word, tags, lang, mode="parity",
-                          materialize=False)
+                          materialize=False, exclude_words=exclude_words,
+                          exclude_tags=exclude_tags)
         return res.count()
 
     def facet_tags(self, search_word: str, tags: list | None = None,
@@ -1032,11 +1158,14 @@ class SearchEngine:
 
     def _run_or(self, query_tokens: dict, df_global: dict, cand_shards: set,
                 tags: list, k: int, materialize: bool,
-                offset: int = 0) -> DataFrame:
+                offset: int = 0, excl_terms: list | None = None,
+                excl_tags: list | None = None) -> DataFrame:
         """Shared disjunctive execution: one grouped exchange (postings ∪
         tags ∪ dense dl arrays) → per-shard maxscore kernel → global
         top-k.  Callers supply resolved per-term global df (term_stats)
-        and the candidate shard set."""
+        and the candidate shard set.  ``excl_terms``/``excl_tags`` ride
+        the same exchange as kind='not'/'nottag' rows (shard-restricted
+        to the candidate set) for must_not exclusion inside the kernel."""
         from .wand import make_or_kernel
 
         terms = sorted(query_tokens)
@@ -1046,6 +1175,31 @@ class SearchEngine:
             "shard", "df", "doc_blob", "tf_blob", "block_off",
             "block_max_tf", "block_min_dl",
         )
+        if excl_terms:
+            not_sel = self.postings.where(
+                F.col("term").isin(list(excl_terms))
+                & F.col("shard").isin([int(s) for s in cand_shards])
+            )
+            groups_df = groups_df.unionByName(
+                not_sel.select(
+                    F.lit("not").alias("kind"), F.col("term").alias("name"),
+                    "shard", "df", "doc_blob", "tf_blob", "block_off",
+                    "block_max_tf", "block_min_dl",
+                )
+            )
+        if excl_tags and self.tags is not None:
+            nottag_sel = self.tags.where(F.col("tag").isin(list(excl_tags)))
+            groups_df = groups_df.unionByName(
+                nottag_sel.select(
+                    F.lit("nottag").alias("kind"), F.col("tag").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "block_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
         if tags:
             tag_sel = self.tags.where(F.col("tag").isin(tags))
             groups_df = groups_df.unionByName(

@@ -81,6 +81,22 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
         if allowed is not None and allowed.size == 0:
             return empty
 
+        # must_not exclusion (kind='not' excluded-term postings,
+        # kind='nottag' excluded-tag sets): applied at posting-decode
+        # time, like the tag restriction, so the maxscore θ bootstrap
+        # and the essential split stay exact over the EXCLUDED corpus.
+        excl_parts = []
+        for row in groups_pdf.itertuples(index=False):
+            if row.kind == "not":
+                ids, _ = codec.unpack_postings(
+                    {"doc_blob": row.doc_blob, "tf_blob": row.tf_blob,
+                     "block_off": row.block_off, "df": row.df}
+                )
+                excl_parts.append(ids)
+            elif row.kind == "nottag":
+                excl_parts.append(codec.decode_sorted(row.doc_blob))
+        excl = np.unique(np.concatenate(excl_parts)) if excl_parts else None
+
         dl_arr = None
         for row in groups_pdf.itertuples(index=False):
             if row.kind == "len":
@@ -128,6 +144,9 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 )
                 if allowed is not None:
                     keep = np.isin(ids, allowed, assume_unique=True)
+                    ids, tfs = ids[keep], tfs[keep]
+                if excl is not None:
+                    keep = ~np.isin(ids, excl, assume_unique=True)
                     ids, tfs = ids[keep], tfs[keep]
                 decoded[row.name] = (ids, tfs)
             return decoded[row.name]

@@ -69,28 +69,63 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .operators.response import _source_doc, search_response
 
 
-def _parse_dsl(body: dict) -> tuple:
-    """(search_word, tags, lang, prefix, max_expansions) from the
-    reference's bool query DSL.  ``prefix`` is a flagged extension (the
-    reference only parses match_phrase + terms filter,
-    handlers.go:149-155): ``must.prefix.content.value`` routes to the
-    engine's wildcard path, with optional ``max_expansions``."""
-    search_word, tags, lang = "", [], ""
-    prefix, max_expansions = None, 50
+def _parse_dsl(body: dict) -> dict:
+    """Parsed fields from the reference's bool query DSL plus the flagged
+    ES-bool extensions.  The reference only parses must.match_phrase +
+    filter.terms (handlers.go:149-155); extensions, each routed to its
+    engine path and loudly 400 on anything else:
+
+    - ``must.prefix.content.value`` → wildcard path (``prefix``);
+    - ``should`` (dict or list of match_phrase clauses) → the
+      disjunctive maxscore kernel (``should_word``, ES bool-should
+      semantics: with no ``must``, at least one should clause matches);
+    - ``must_not`` (dict or list of match_phrase / terms.tags clauses)
+      → kernel-side exclusion (``excl_words`` / ``excl_tags``).
+
+    Raises ValueError on unsupported clause shapes (handlers 400 it).
+    """
+    out = {"search_word": "", "tags": [], "lang": "", "prefix": None,
+           "max_expansions": 50, "should_word": "", "excl_words": "",
+           "excl_tags": []}
     q = (body or {}).get("query", {}).get("bool", {})
     must = q.get("must")
     if must:
         content = must.get("match_phrase", {}).get("content", {})
-        search_word = content.get("query") or ""
-        lang = content.get("analyzer") or ""
+        out["search_word"] = content.get("query") or ""
+        out["lang"] = content.get("analyzer") or ""
         pfx = must.get("prefix", {}).get("content", {})
         if pfx:
-            prefix = pfx.get("value") or ""
-            max_expansions = int(pfx.get("max_expansions") or 50)
+            out["prefix"] = pfx.get("value") or ""
+            out["max_expansions"] = int(pfx.get("max_expansions") or 50)
+    should = q.get("should")
+    if should:
+        words = []
+        for c in should if isinstance(should, list) else [should]:
+            mp = (c or {}).get("match_phrase", {}).get("content", {})
+            if not mp.get("query"):
+                raise ValueError(
+                    "bool.should supports match_phrase.content clauses only")
+            words.append(mp["query"])
+            out["lang"] = out["lang"] or mp.get("analyzer") or ""
+        out["should_word"] = " ".join(words)
+    must_not = q.get("must_not")
+    if must_not:
+        ew: list = []
+        for c in must_not if isinstance(must_not, list) else [must_not]:
+            mp = (c or {}).get("match_phrase", {}).get("content", {})
+            tt = (c or {}).get("terms", {}).get("tags")
+            if mp.get("query"):
+                ew.append(mp["query"])
+            elif tt:
+                out["excl_tags"].extend(tt)
+            else:
+                raise ValueError("bool.must_not supports match_phrase."
+                                 "content and terms.tags clauses only")
+        out["excl_words"] = " ".join(ew)
     filt = q.get("filter")
     if filt:
-        tags = list(filt.get("terms", {}).get("tags") or [])
-    return search_word, tags, lang, prefix, max_expansions
+        out["tags"] = list(filt.get("terms", {}).get("tags") or [])
+    return out
 
 
 def _parse_hex_id(doc_id: str) -> int | None:
@@ -187,9 +222,39 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, search_response(
                 eng, q, mode="parity", k=None, index_name=index))
             return
-        search_word, tags, lang, prefix, max_exp = _parse_dsl(body)
+        try:
+            dsl = _parse_dsl(body)
+        except ValueError as exc:
+            self._send(400, {"message": str(exc)[:500]})
+            return
+        search_word, tags, lang = dsl["search_word"], dsl["tags"], dsl["lang"]
+        prefix, max_exp = dsl["prefix"], dsl["max_expansions"]
         aggs = (body or {}).get("aggs") or (body or {}).get("aggregations")
         mode = query.get("mode", ["parity"])[0]
+        operator = "and"
+        if dsl["should_word"]:
+            if search_word or prefix is not None:
+                self._send(400, {
+                    "message": "bool.should composes with filter/must_not "
+                               "only (no must clause, no prefix)"
+                })
+                return
+            search_word, operator, mode = dsl["should_word"], "or", "bm25"
+        hl = (body or {}).get("highlight")
+        if operator == "or" and (aggs or hl):
+            self._send(400, {
+                "message": "bool.should does not compose with aggs or "
+                           "highlight"
+            })
+            return
+        if (dsl["excl_words"] or dsl["excl_tags"]) and (
+                prefix is not None or aggs or hl):
+            self._send(400, {
+                "message": "bool.must_not composes with match_phrase/"
+                           "should + terms filter only (no prefix, no "
+                           "aggs, no highlight)"
+            })
+            return
         # ES-style paging: body from/size (query-param fallbacks); size
         # doubles as k, paging applies to scored (bm25/prefix) modes
         frm = int((body or {}).get("from") or query.get("from", [0])[0] or 0)
@@ -198,7 +263,6 @@ class _Handler(BaseHTTPRequestHandler):
             or int(query.get("k", [0])[0]) or (
             10 if (mode == "bm25" or prefix is not None) else None
         )
-        hl = (body or {}).get("highlight")
         if prefix is not None and (search_word or aggs or hl):
             self._send(400, {
                 "message": "prefix query composes with a tags filter only "
@@ -209,19 +273,30 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, search_response(
                 eng, search_word, tags, lang=lang, mode=mode, k=k,
                 index_name=index, prefix=prefix, max_expansions=max_exp,
-                aggs=aggs, offset=frm, highlight=hl))
+                aggs=aggs, offset=frm, highlight=hl, operator=operator,
+                exclude_words=dsl["excl_words"],
+                exclude_tags=dsl["excl_tags"]))
         except ValueError as exc:  # unsupported aggs spec
             self._send(400, {"message": str(exc)[:500]})
 
     def _count(self, index, eng, body) -> None:
         """ES ``_count``: match count for the same bool DSL, no
-        materialization, no top-k (GET or POST, like ES)."""
-        search_word, tags, lang, prefix, _ = _parse_dsl(body)
-        if prefix is not None:
-            self._send(400, {"message": "_count supports match_phrase + "
-                                        "terms filter only"})
+        materialization, no top-k (GET or POST, like ES).  must_not
+        exclusion applies; should (disjunctive) counting is out of
+        scope for the parity kernel — loud 400."""
+        try:
+            dsl = _parse_dsl(body)
+        except ValueError as exc:
+            self._send(400, {"message": str(exc)[:500]})
             return
-        self._send(200, {"count": eng.count(search_word, tags, lang=lang)})
+        if dsl["prefix"] is not None or dsl["should_word"]:
+            self._send(400, {"message": "_count supports match_phrase + "
+                                        "terms filter + must_not only"})
+            return
+        self._send(200, {"count": eng.count(
+            dsl["search_word"], dsl["tags"], lang=dsl["lang"],
+            exclude_words=dsl["excl_words"],
+            exclude_tags=dsl["excl_tags"])})
 
     # ----------------------------------------------------------- doc GETs
 
