@@ -52,6 +52,32 @@ def measure(base: str, clients: int, reps: int) -> float:
     return round(len(QUERIES) * reps / (time.time() - t0), 2)
 
 
+def measure_msearch(base: str, reps: int) -> float:
+    """Same query mix, but the whole set rides ONE ``_msearch`` request
+    per rep (one Spark DAG per batch) — the batching answer to the
+    same throughput question ``measure`` asks with threads."""
+    lines = []
+    for q in QUERIES:
+        lines.append({})
+        lines.append({"query": {"bool": {"must": {"match_phrase": {
+            "content": {"query": q}}}}}, "size": 10})
+    nd = "\n".join(json.dumps(l) for l in lines) + "\n"
+
+    def one() -> None:
+        req = urllib.request.Request(
+            f"{base}/indexes/default/_msearch?mode=bm25", data=nd.encode(),
+            headers={"Content-Type": "application/x-ndjson"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = json.load(r)
+            assert len(body["responses"]) == len(QUERIES)
+    one()  # warm
+    t0 = time.time()
+    for _ in range(reps):
+        one()
+    return round(len(QUERIES) * reps / (time.time() - t0), 2)
+
+
 def main() -> None:
     n_docs = int(os.environ.get("WT_QPS_DOCS", "100000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
@@ -84,9 +110,13 @@ def main() -> None:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         out[f"qps_pools_{'on' if fair else 'off'}"] = measure(
             base, clients, reps)
+        if fair:
+            out["qps_msearch"] = measure_msearch(base, reps)
         server.shutdown()
     out["pools_speedup"] = round(
         out["qps_pools_on"] / out["qps_pools_off"], 3)
+    out["msearch_vs_threads"] = round(
+        out["qps_msearch"] / out["qps_pools_on"], 3)
     print(json.dumps(out))
 
 

@@ -556,3 +556,41 @@ def test_must_not_tag_exclusion_and_or_kernel(spark, tagged_index):
                        operator="or", k=8, exclude_words="red").collect()
     assert {r["url"] for r in got_w} == {f"tg://{i:03d}" for i in (1, 3, 5, 7)}
     assert all(round(r["score"], 9) == shared_only[r["url"]] for r in got_w)
+
+
+def test_msearch_batches_equal_per_query_results(spark, tagged_index):
+    """ES _msearch batch path: heterogeneous queries (AND/parity/OR,
+    exclusions, a no-match) in ONE DAG return exactly what each query
+    returns alone, keyed by qid in line order."""
+    eng = SearchEngine(spark, tagged_index)
+    specs = [
+        {"word": "shared", "lang": "en", "mode": "bm25", "k": 3},
+        {"word": "red apple", "lang": "en", "mode": "parity"},
+        {"word": "shared red", "lang": "en", "mode": "bm25",
+         "operator": "or", "k": 5, "exclude_tags": ["p0"]},
+        {"word": "nosuchword", "lang": "en", "mode": "bm25", "k": 5},
+        {"word": "shared", "lang": "en", "mode": "bm25", "k": 8,
+         "exclude_words": "red"},
+        {"word": "shared", "tags": ["p1"], "lang": "en", "mode": "parity"},
+    ]
+    rows = eng.msearch(specs).collect()
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], round(r["score"], 9)))
+    singles = [
+        eng.search("shared", lang="en", mode="bm25", k=3),
+        eng.search("red apple", lang="en", mode="parity"),
+        eng.search("shared red", lang="en", mode="bm25", operator="or",
+                   k=5, exclude_tags=["p0"]),
+        eng.search("nosuchword", lang="en", mode="bm25", k=5),
+        eng.search("shared", lang="en", mode="bm25", k=8,
+                   exclude_words="red"),
+        eng.search("shared", tags=["p1"], lang="en", mode="parity"),
+    ]
+    for qid, df in enumerate(singles):
+        exp = [(r["url"], round(r["score"], 9)) for r in df.collect()]
+        assert by_qid.get(qid, []) == exp, f"qid {qid}"
+    assert 3 not in by_qid  # the no-match query contributes nothing
+    # results arrive qid-major in the DataFrame's declared order
+    assert [r["qid"] for r in rows] == sorted(r["qid"] for r in rows)

@@ -444,3 +444,61 @@ def test_should_dsl_over_http(served):
         "query": {"bool": {"should": [{"prefix": {"content": {
             "value": "re"}}}]}}})
     assert code == 400 and "should" in body["message"]
+
+
+def _ndpost(url, lines):
+    nd = "\n".join(json.dumps(l) for l in lines) + "\n"
+    req = urllib.request.Request(
+        url, data=nd.encode(),
+        headers={"Content-Type": "application/x-ndjson"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_msearch_over_http(served):
+    """ES _msearch: NDJSON header/body pairs; batchable lines share one
+    Spark DAG, non-batchable lines (highlight) fall back per-line, and
+    the responses interleave in line order."""
+    base, eng = served
+    lines = [
+        {}, {"query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}}, "size": 3},
+        {}, {"query": {"bool": {"should": [
+            {"match_phrase": {"content": {"query": "request"}}},
+            {"match_phrase": {"content": {"query": "server"}}}]}}},
+        {}, {"query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}}, "highlight": {"window": 2}},
+    ]
+    code, body = _ndpost(f"{base}/indexes/default/_msearch?mode=bm25", lines)
+    assert code == 200 and len(body["responses"]) == 3
+    got0 = [(h["_id"], round(h["_score"], 9))
+            for h in body["responses"][0]["hits"]["hits"]]
+    want0 = [(f"d{int(r['doc_id']):x}", round(r["score"], 9))
+             for r in eng.search("request", mode="bm25", k=3).collect()]
+    assert got0 == want0 and len(got0) == 3
+    got1 = [(h["_id"], round(h["_score"], 9))
+            for h in body["responses"][1]["hits"]["hits"]]
+    want1 = [(f"d{int(r['doc_id']):x}", round(r["score"], 9))
+             for r in eng.search("request server", mode="bm25",
+                                 operator="or", k=10).collect()]
+    assert got1 == want1 and got1
+    hits2 = body["responses"][2]["hits"]["hits"]
+    assert hits2 and all("highlight" in h for h in hits2)
+    # total.value per line, ES-shaped
+    assert body["responses"][0]["hits"]["total"]["value"] == 3
+    # odd line count → 400
+    code, body = _ndpost(f"{base}/indexes/default/_msearch", [{}])
+    assert code == 400 and "pairs" in body["message"]
+    # broken NDJSON → 400
+    req = urllib.request.Request(
+        f"{base}/indexes/default/_msearch", data=b"{not json}\n{}\n",
+        headers={"Content-Type": "application/x-ndjson"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code, msg = e.code, json.loads(e.read())
+    assert code == 400 and "NDJSON" in msg["message"]

@@ -1355,6 +1355,71 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_engine_msearch(spark, sf_dir):
+    """ES _msearch batch path: three heterogeneous queries (BM25 AND,
+    parity TF-IDF with phrase, disjunctive BM25 with tag exclusion) in
+    ONE Spark DAG — results must equal each query run alone, which the
+    oracle reconstructs per line and unions with the qid."""
+    eng = _engine(spark, sf_dir)
+    res = eng.msearch([
+        {"word": "merge", "mode": "bm25", "k": 10},
+        {"word": "data table", "mode": "parity"},
+        {"word": "scan vector", "mode": "bm25", "operator": "or",
+         "k": 10, "exclude_tags": ["src3"]},
+    ])
+    return res.select(
+        "qid", _url_to_doc_id(F.col("url")), F.round("score", 6).alias("score")
+    )
+
+
+ORACLE_ENGINE_MSEARCH = TOK_CTE + f"""
+, wc AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM wc) AS avgdl FROM documents),
+tf0 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id, term
+), df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf0 GROUP BY term),
+q0 AS (
+  SELECT 0 AS qid, doc_id,
+         round(ln(1.0 + (stats.n - df0.df + 0.5) / (df0.df + 0.5))
+               * ({BM25_K1} + 1.0) * tf
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl)), 6) AS score
+  FROM tf0 JOIN df0 USING (term) JOIN wc USING (doc_id), stats
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+tf1 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('data', 'table') GROUP BY doc_id, term
+), df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf1 GROUP BY term),
+adjacent1 AS (
+  SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'data' AND b.term = 'table'
+),
+q1 AS (
+  SELECT 1 AS qid, doc_id,
+         round(sum((1.0 + ln(tf)) * ln(stats.n / df1.df)), 6) AS score
+  FROM tf1 JOIN df1 USING (term), stats
+  WHERE doc_id IN (SELECT doc_id FROM adjacent1)
+  GROUP BY doc_id, stats.n HAVING count(DISTINCT term) = 2
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('scan', 'vector') GROUP BY doc_id, term
+), df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
+q2 AS (
+  SELECT 2 AS qid, doc_id,
+         round(sum(ln(1.0 + (stats.n - df2.df + 0.5) / (df2.df + 0.5))
+               * ({BM25_K1} + 1.0) * tf
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * wc.dl / stats.avgdl))), 6) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN wc USING (doc_id), stats
+  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src3')
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+"""
+
+
 def q_engine_phrase(spark, sf_dir):
     """Engine phrase verification kernel vs SQL adjacency."""
     eng = _engine(spark, sf_dir)
@@ -1832,6 +1897,7 @@ QUERIES: dict = {
     "engine_bm25_or_tag": (q_engine_bm25_or_tag, ORACLE_ENGINE_BM25_OR_TAG),
     "engine_bm25_not": (q_engine_bm25_not, ORACLE_ENGINE_BM25_NOT),
     "engine_or_not_tag": (q_engine_or_not_tag, ORACLE_ENGINE_OR_NOT_TAG),
+    "engine_msearch": (q_engine_msearch, ORACLE_ENGINE_MSEARCH),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),

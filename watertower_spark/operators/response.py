@@ -39,6 +39,53 @@ def _source_doc(row) -> dict:
     return src
 
 
+def _hit(row, index_name: str) -> dict:
+    """One ES-shaped hit item (handlers.go:92-183's hits.hits entry)."""
+    return {
+        "_id": f"d{int(row['doc_id']):x}",
+        "_index": index_name,
+        "_type": "_doc",
+        "_score": float(row["score"]),
+        "_source": _source_doc(row),
+    }
+
+
+def _wrap_hits(hits: list, took_ms: int) -> dict:
+    max_score = max((h["_score"] for h in hits), default=0.0)
+    return {
+        "took": took_ms,
+        "timed_out": False,
+        "_shards": None,
+        "hits": {
+            "hits": hits,
+            "max_score": max_score,
+            "total": {"value": len(hits), "relation": ""},
+        },
+    }
+
+
+def msearch_response(engine, specs: list, index_name: str = "default") -> dict:
+    """ES ``_msearch``: run every line's query in ONE Spark DAG
+    (``SearchEngine.msearch`` — one grouped exchange per kernel family,
+    one doc_store materialization join for the whole batch) and shape
+    one search-response dict per line, in line order.  ``took`` is the
+    batch wall time, repeated per line (the lines shared one job)."""
+    t0 = time.time()
+    rows = engine.msearch(specs).collect()
+    took_ms = int((time.time() - t0) * 1000)
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(int(r["qid"]), []).append(r)
+    return {
+        "took": took_ms,
+        "responses": [
+            _wrap_hits([_hit(r, index_name) for r in by_qid.get(qid, [])],
+                       took_ms)
+            for qid in range(len(specs))
+        ],
+    }
+
+
 def search_response(engine, search_word: str, tags: list | None = None,
                     lang: str = "", mode: str = "bm25", k: int | None = 10,
                     operator: str = "and", index_name: str = "default",
@@ -74,11 +121,7 @@ def search_response(engine, search_word: str, tags: list | None = None,
     took_ms = int((time.time() - t0) * 1000)
     hits = [
         {
-            "_id": f"d{int(r['doc_id']):x}",
-            "_index": index_name,
-            "_type": "_doc",
-            "_score": float(r["score"]),
-            "_source": _source_doc(r),
+            **_hit(r, index_name),
             **(
                 {"highlight": {"content": [r["snippet"]]}}
                 if highlight is not None else {}
@@ -86,17 +129,7 @@ def search_response(engine, search_word: str, tags: list | None = None,
         }
         for r in rows
     ]
-    max_score = max((h["_score"] for h in hits), default=0.0)
-    resp = {
-        "took": took_ms,
-        "timed_out": False,
-        "_shards": None,
-        "hits": {
-            "hits": hits,
-            "max_score": max_score,
-            "total": {"value": len(hits), "relation": ""},
-        },
-    }
+    resp = _wrap_hits(hits, took_ms)
     if aggs:
         resp["aggregations"] = {}
         for name, spec in aggs.items():

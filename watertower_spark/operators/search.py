@@ -1241,6 +1241,276 @@ class SearchEngine:
         results = results.limit(k)
         return self._materialize(results, "bm25", bounded=True) if materialize else results
 
+    # ------------------------------------------------------------ msearch
+
+    def msearch(self, queries: list, materialize: bool = True) -> DataFrame:
+        """N independent queries in ONE Spark DAG — the ES ``_msearch``
+        batch API re-expressed Spark-first (flagged extension; the
+        reference serves one query per request, handlers.go:100-176).
+
+        Each entry is a dict: ``{"word": str, "tags": list|None,
+        "lang": str, "mode": "parity"|"bm25", "k": int|None,
+        "operator": "and"|"or", "exclude_words": str,
+        "exclude_tags": list|None}`` (only ``word`` required).
+
+        Physical plan: every conjunctive query's inputs (postings ∪
+        tags ∪ dl arrays ∪ must_not rows) ride ONE grouped exchange
+        keyed by (qid, shard), dispatching to the same per-query kernel
+        ``search()`` builds; disjunctive queries share a second
+        exchange into the maxscore kernel.  Both outputs union into a
+        single plan; per-query top-k is one window over the already
+        per-shard-bounded candidates, and ONE doc_store join
+        materializes every query's hits.  Scheduling and exchange
+        overhead is therefore paid once per BATCH instead of once per
+        query — at any corpus size, query throughput comes from
+        batching, not from threading one driver process.
+
+        Returns rows with a leading ``qid`` column (position in
+        ``queries``), ordered (qid ASC, the query's score order,
+        doc_id ASC).  Queries matching nothing contribute no rows.
+        """
+        from watertower_spark.analyzers import analyze_query
+
+        from .wand import make_or_kernel
+
+        spark = self.spark
+        default_lang = self.manifest.get("default_lang") or ""
+        analyzer_lang = self.manifest.get("analyzer_lang")
+        doc_count = int(self.manifest["doc_count"])
+        avgdl = float(self.manifest["avgdl"])
+        dps = int(self.manifest["docs_per_shard"])
+
+        def _an(word, lang):
+            return analyze_query(
+                word or "", analyzer_lang or lang, default_lang
+            ) if word else {}
+
+        # -- per-query analysis + ONE combined term_stats resolution
+        qspecs = []
+        all_terms: set = set()
+        for qid, q in enumerate(queries):
+            tokens = _an(q.get("word"), q.get("lang") or "")
+            excl = _an(q.get("exclude_words"), q.get("lang") or "")
+            spec = dict(
+                qid=qid, tokens=tokens, excl=excl,
+                tags=list(q.get("tags") or []),
+                excl_tags=list(q.get("exclude_tags") or []),
+                mode=q.get("mode") or "bm25",
+                op=q.get("operator") or "and",
+                k=q.get("k", 10 if (q.get("mode") or "bm25") == "bm25" else None),
+            )
+            if spec["op"] == "or":
+                if spec["mode"] != "bm25":
+                    raise ValueError("operator='or' supports mode='bm25' only")
+                # an excluded term leaves the scored disjunction
+                spec["tokens"] = {t: p for t, p in spec["tokens"].items()
+                                  if t not in spec["excl"]}
+                spec["k"] = spec["k"] or 10
+            qspecs.append(spec)
+            all_terms.update(spec["tokens"])
+            all_terms.update(spec["excl"])
+        resolved = self._resolve_terms(sorted(all_terms)) if all_terms else {}
+
+        # Per-family accumulators.  The plan is assembled from BROADCAST
+        # maps instead of per-query selects: one postings scan joined to
+        # a tiny (term → qid, kind) relation duplicates each posting row
+        # into every query's (qid, shard) group — so the plan size (and
+        # the driver's py4j construction cost) is CONSTANT in the batch
+        # width, and postings/tags/doc_len are each scanned once per
+        # kernel family regardless of how many lines share them.
+        fam: dict = {
+            f: {"terms": [], "tags": [], "len_pairs": [], "shards": set(),
+                "unrestricted": False, "kernels": {}}
+            for f in ("and", "or")
+        }
+        parity_qids: list = []
+        kmap_items: list = []
+
+        for spec in qspecs:
+            qid, tokens, tags = spec["qid"], spec["tokens"], spec["tags"]
+            mode, op, k = spec["mode"], spec["op"], spec["k"]
+            if mode == "parity":
+                parity_qids.append(qid)
+            if not tokens and not tags:
+                continue
+            if set(spec["excl"]) & set(tokens) or \
+                    (set(spec["excl_tags"]) & set(tags)):
+                continue  # required ∧ excluded ⇒ empty
+            if tags and self.tags is None:
+                continue
+            terms = sorted(tokens)
+            if op == "or":
+                f = fam["or"]
+                df_global = {t: resolved[t][0] for t in terms
+                             if resolved.get(t) is not None}
+                if not df_global:
+                    continue
+                cand = set()
+                for t in df_global:
+                    cand.update(resolved[t][1])
+                f["terms"] += [(t, qid, "term") for t in sorted(df_global)]
+                f["tags"] += [(t, qid, "tag") for t in tags]
+                f["terms"] += [
+                    (t, qid, "not") for t in sorted(spec["excl"])
+                    if resolved.get(t) is not None
+                    and set(resolved[t][1]) & cand
+                ]
+                if self.tags is not None:
+                    f["tags"] += [(t, qid, "nottag")
+                                  for t in spec["excl_tags"]]
+                f["len_pairs"] += [(qid, int(s)) for s in sorted(cand)]
+                f["shards"].update(cand)
+                f["kernels"][qid] = make_or_kernel(
+                    tokens, df_global, doc_count, avgdl, k,
+                    n_tags=len(set(tags)), docs_per_shard=dps)
+                kmap_items.append((qid, int(k)))
+                continue
+            # conjunctive (AND) query — mirrors search()'s plan per qid
+            f = fam["and"]
+            df_global = {}
+            and_shards: set | None = None
+            dead = False
+            for t in terms:
+                if resolved.get(t) is None:
+                    dead = True
+                    break
+                df_global[t] = resolved[t][0]
+                s = set(resolved[t][1])
+                and_shards = s if and_shards is None else (and_shards & s)
+            if dead or (terms and not and_shards):
+                continue
+            f["terms"] += [(t, qid, "term") for t in terms]
+            f["tags"] += [(t, qid, "tag") for t in tags]
+            if and_shards is None:
+                f["unrestricted"] = True  # tags-only query: all shards
+            else:
+                f["shards"].update(and_shards)
+            has_excl = False
+            excl_present = [
+                t for t in sorted(spec["excl"])
+                if resolved.get(t) is not None
+                and (and_shards is None or set(resolved[t][1]) & and_shards)
+            ]
+            if excl_present:
+                has_excl = True
+                f["terms"] += [(t, qid, "not") for t in excl_present]
+            if spec["excl_tags"] and self.tags is not None:
+                has_excl = True
+                f["tags"] += [(t, qid, "nottag") for t in spec["excl_tags"]]
+            if mode == "bm25" and terms:
+                f["len_pairs"] += [(qid, int(s)) for s in sorted(and_shards)]
+            f["kernels"][qid] = _make_kernel(
+                tokens, df_global, doc_count, avgdl, mode,
+                k if mode == "bm25" else None, n_tags=len(set(tags)),
+                docs_per_shard=dps, has_excl=has_excl)
+            if mode == "bm25" and k is not None:
+                kmap_items.append((qid, int(k)))
+
+        _AND_BLOBS = ("tf_blob", "pos_blob", "block_off", "block_last",
+                      "block_tf_off", "block_pos_off", "block_max_tf",
+                      "block_min_dl")
+        _OR_BLOBS = ("tf_blob", "block_off", "block_max_tf", "block_min_dl")
+
+        def _family_df(f: dict, blobs):
+            nulls = [F.lit(None).cast("binary").alias(c) for c in blobs]
+            shards = None if f["unrestricted"] else sorted(
+                int(s) for s in f["shards"])
+            parts = []
+            if f["terms"]:
+                tm = spark.createDataFrame(
+                    f["terms"], "name string, tqid int, kind string")
+                sel = self.postings.where(
+                    F.col("term").isin(sorted({r[0] for r in f["terms"]})))
+                if shards is not None:
+                    sel = sel.where(F.col("shard").isin(shards))
+                parts.append(
+                    sel.join(F.broadcast(tm), sel["term"] == tm["name"])
+                    .select(F.col("tqid").alias("qid"), "kind", "name",
+                            "shard", "df", "doc_blob", *blobs))
+            if f["tags"]:
+                tg = spark.createDataFrame(
+                    f["tags"], "name string, tqid int, kind string")
+                tsel = self.tags.where(
+                    F.col("tag").isin(sorted({r[0] for r in f["tags"]})))
+                parts.append(
+                    tsel.join(F.broadcast(tg), tsel["tag"] == tg["name"])
+                    .select(F.col("tqid").alias("qid"), "kind", "name",
+                            "shard", F.col("n").alias("df"), "doc_blob",
+                            *nulls))
+            if f["len_pairs"]:
+                lp = spark.createDataFrame(
+                    f["len_pairs"], "lqid int, shard int")
+                parts.append(
+                    self.doc_len.join(F.broadcast(lp), "shard")
+                    .select(F.col("lqid").alias("qid"),
+                            F.lit("len").alias("kind"),
+                            F.lit("").alias("name"), "shard",
+                            F.col("n").alias("df"),
+                            F.col("dl_blob").alias("doc_blob"), *nulls))
+            if not parts:
+                return None
+            g = parts[0]
+            for p in parts[1:]:
+                g = g.unionByName(p)
+            return g
+
+        out_schema = "qid int, " + RESULT_SCHEMA
+
+        def _dispatch(kernels):
+            def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                qid = int(key[0])
+                out = kernels[qid]((key[1],), pdf)
+                out.insert(0, "qid", np.full(len(out), qid, dtype="int32"))
+                return out
+            return kernel
+
+        outs = []
+        for fname, blobs in (("and", _AND_BLOBS), ("or", _OR_BLOBS)):
+            f = fam[fname]
+            g = _family_df(f, blobs)
+            if g is None:
+                continue
+            outs.append(g.groupBy("qid", "shard").applyInPandas(
+                _dispatch(f["kernels"]), schema=out_schema))
+        if not outs:
+            res = spark.createDataFrame([], out_schema)
+        else:
+            res = outs[0]
+            for o in outs[1:]:
+                res = res.unionByName(o)
+
+        # per-query top-k: one window over the per-shard-bounded rows
+        if kmap_items:
+            from pyspark.sql import Window
+
+            kmap = F.create_map(
+                *[F.lit(v) for pair in kmap_items for v in pair])
+            w = Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())
+            res = (
+                res.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= F.coalesce(
+                    F.element_at(kmap, F.col("qid")), F.lit(1 << 30)))
+                .drop("rn")
+            )
+        if not materialize:
+            return res
+
+        # one materialization join for the whole batch; broadcast only
+        # when every query is k-bounded (a parity query is unbounded)
+        bounded = not parity_qids
+        right = F.broadcast(res) if bounded else res
+        sortk = (
+            F.when(F.col("qid").isin(parity_qids), F.col("score"))
+            .otherwise(-F.col("score")) if parity_qids else -F.col("score")
+        )
+        return (
+            self.doc_store.join(right, ["doc_id", "shard"])
+            .select("qid", "doc_id", "url", "score", "text", "lang",
+                    *self._extra_doc_cols())
+            .orderBy(F.col("qid").asc(), sortk.asc(), F.col("doc_id").asc())
+        )
+
     def _materialize(self, results: DataFrame, mode: str,
                      bounded: bool = False) -> DataFrame:
         """Join the result set to doc_store — Q9/materialization

@@ -184,6 +184,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if verb == "_search" and len(parts) == 3:
                 self._search(index, eng, parsed, body)
+            elif verb == "_msearch" and len(parts) == 3 and method == "POST":
+                self._msearch(index, eng, parsed, body)
             elif verb == "_count" and len(parts) == 3:
                 self._count(index, eng, body)
             elif verb == "_stats" and len(parts) == 3 and method == "GET":
@@ -278,6 +280,97 @@ class _Handler(BaseHTTPRequestHandler):
                 exclude_tags=dsl["excl_tags"]))
         except ValueError as exc:  # unsupported aggs spec
             self._send(400, {"message": str(exc)[:500]})
+
+    def _msearch(self, index, eng, parsed, lines) -> None:
+        """ES ``_msearch`` (flagged extension): NDJSON header/body line
+        pairs; every batchable line's query runs in ONE Spark DAG
+        (SearchEngine.msearch) — scheduling and exchange overhead paid
+        once per batch, the Spark-idiomatic answer to concurrent query
+        throughput.  Lines using features outside the batch kernel
+        (prefix, aggs, highlight, from>0) fall back to the per-line
+        path; the response interleaves both in line order."""
+        from .operators.response import msearch_response
+
+        query = urllib.parse.parse_qs(parsed.query)
+        mode = query.get("mode", ["parity"])[0]
+        if not isinstance(lines, list) or not lines or len(lines) % 2:
+            self._send(400, {"message": "_msearch body must be NDJSON "
+                                        "header/body line pairs"})
+            return
+        bodies = lines[1::2]
+        specs: list = []
+        fallback: dict = {}
+        for i, b in enumerate(bodies):
+            b = b or {}
+            try:
+                dsl = _parse_dsl(b)
+            except ValueError as exc:
+                self._send(400, {"message": f"line {2 * i + 1}: "
+                                            f"{str(exc)[:400]}"})
+                return
+            frm = int(b.get("from") or 0)
+            size = b.get("size")
+            hl = b.get("highlight")
+            aggs = b.get("aggs") or b.get("aggregations")
+            word, op, m = dsl["search_word"], "and", mode
+            if dsl["should_word"]:
+                if word or dsl["prefix"] is not None:
+                    self._send(400, {"message": f"line {2 * i + 1}: bool."
+                                     "should composes with filter/must_not "
+                                     "only (no must clause, no prefix)"})
+                    return
+                word, op, m = dsl["should_word"], "or", "bm25"
+            if (dsl["excl_words"] or dsl["excl_tags"] or op == "or") and (
+                    dsl["prefix"] is not None or aggs or hl):
+                self._send(400, {"message": f"line {2 * i + 1}: must_not/"
+                                 "should do not compose with prefix, aggs "
+                                 "or highlight"})
+                return
+            if dsl["prefix"] is not None or hl or aggs or frm:
+                fallback[i] = (dsl, word, op, m, frm, size, hl, aggs)
+                specs.append(None)
+                continue
+            k = int(size) if size is not None else (
+                10 if m == "bm25" else None)
+            specs.append({
+                "word": word, "tags": dsl["tags"], "lang": dsl["lang"],
+                "mode": m, "operator": op, "k": k,
+                "exclude_words": dsl["excl_words"],
+                "exclude_tags": dsl["excl_tags"],
+            })
+        resp_map: dict = {}
+        batched = [(i, s) for i, s in enumerate(specs) if s is not None]
+        took = 0
+        if batched:
+            sub = msearch_response(eng, [s for _, s in batched],
+                                   index_name=index)
+            took = sub["took"]
+            for (i, _), r in zip(batched, sub["responses"]):
+                resp_map[i] = r
+        for i, (dsl, word, op, m, frm, size, hl, aggs) in fallback.items():
+            if dsl["prefix"] is not None and (word or aggs or hl):
+                self._send(400, {"message": f"line {2 * i + 1}: prefix "
+                                 "query composes with a tags filter only"})
+                return
+            k = int(size) if size is not None else (
+                10 if (m == "bm25" or dsl["prefix"] is not None) else None)
+            try:
+                resp_map[i] = search_response(
+                    eng, word, dsl["tags"], lang=dsl["lang"], mode=m, k=k,
+                    index_name=index, prefix=dsl["prefix"],
+                    max_expansions=dsl["max_expansions"], aggs=aggs,
+                    offset=frm, highlight=hl, operator=op,
+                    exclude_words=dsl["excl_words"],
+                    exclude_tags=dsl["excl_tags"])
+            except ValueError as exc:  # unsupported aggs spec
+                self._send(400, {"message": f"line {2 * i + 1}: "
+                                            f"{str(exc)[:400]}"})
+                return
+            took += resp_map[i]["took"]
+        self._send(200, {
+            "took": took,
+            "responses": [resp_map[i] for i in range(len(bodies))],
+        })
 
     def _count(self, index, eng, body) -> None:
         """ES ``_count``: match count for the same bool DSL, no
@@ -469,6 +562,19 @@ class _Handler(BaseHTTPRequestHandler):
     def _with_body(self, method: str) -> None:
         n = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(n) if n else b""
+        path = urllib.parse.urlparse(self.path).path.rstrip("/")
+        if path.endswith("/_msearch"):
+            # ES _msearch bodies are NDJSON, not one JSON document
+            try:
+                lines = [json.loads(l)
+                         for l in raw.decode("utf-8").splitlines()
+                         if l.strip()]
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                self._send(400, {"message": "_msearch body must be NDJSON "
+                                            "(one JSON object per line)"})
+                return
+            self._route(method, lines)
+            return
         try:
             body = json.loads(raw) if raw else None
         except json.JSONDecodeError:
