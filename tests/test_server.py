@@ -502,3 +502,62 @@ def test_msearch_over_http(served):
     except urllib.error.HTTPError as e:
         code, msg = e.code, json.loads(e.read())
     assert code == 400 and "NDJSON" in msg["message"]
+
+
+def test_bulk_lifecycle_over_http(crud_served):
+    """ES _bulk: NDJSON action/source lines; consecutive same-type runs
+    coalesce into one batch mutation; per-item outcomes in line order;
+    structural errors 400, item-level errors mark the item only."""
+    base = crud_served
+    lines = [
+        {"index": {}}, {"unique_key": "blk://1", "title": "bulk one",
+                        "content": "alpha bravo common", "tags": ["blk"]},
+        {"index": {}}, {"unique_key": "blk://2", "title": "bulk two",
+                        "content": "charlie delta common"},
+        {"create": {}}, {"unique_key": "blk://3", "title": "bulk three",
+                         "content": "echo common"},
+    ]
+    code, body = _ndpost(f"{base}/indexes/default/_bulk", lines)
+    assert code == 200 and body["errors"] is False
+    assert [list(it)[0] for it in body["items"]] == ["index"] * 3
+    ids = [it["index"]["_id"] for it in body["items"]]
+    assert all(i.startswith("d") and len(i) > 1 for i in ids)
+    # the batch is searchable (one upsert re-analyzed all three)
+    code, res = _post(f"{base}/indexes/default/_search?mode=bm25", {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "common"}}}}}})
+    urls = {h["_source"]["unique_key"] for h in res["hits"]["hits"]}
+    assert {"blk://1", "blk://2", "blk://3"} <= urls
+    # GET by the returned hex id
+    code, doc = _req(f"{base}/indexes/default/_doc/{ids[0]}", "GET")
+    assert code == 200 and doc["_source"]["unique_key"] == "blk://1"
+    # mixed batch: valid delete + missing delete + re-index
+    lines2 = [
+        {"delete": {"_id": ids[0]}},
+        {"delete": {"_id": "dffffff0"}},
+        {"index": {}}, {"unique_key": "blk://4", "title": "bulk four",
+                        "content": "foxtrot common"},
+    ]
+    code, body2 = _ndpost(f"{base}/indexes/default/_bulk", lines2)
+    assert code == 200 and body2["errors"] is True
+    assert body2["items"][0]["delete"]["result"] == "deleted"
+    assert body2["items"][1]["delete"]["result"] == "not_found"
+    assert body2["items"][1]["delete"]["status"] == 404
+    assert body2["items"][2]["index"]["result"] == "created"
+    code, _ = _req(f"{base}/indexes/default/_doc/{ids[0]}", "GET")
+    assert code == 404
+    # structural NDJSON errors 400 the whole request
+    code, msg = _ndpost(f"{base}/indexes/default/_bulk", [{"index": {}}])
+    assert code == 400 and "source" in msg["message"]
+    code, msg = _ndpost(f"{base}/indexes/default/_bulk", [{"nope": {}}, {}])
+    assert code == 400 and "nope" in msg["message"]
+    # item-level error (missing unique_key) marks the item, batch proceeds
+    lines3 = [
+        {"index": {}}, {"title": "no key"},
+        {"index": {}}, {"unique_key": "blk://5", "title": "five",
+                        "content": "golf common"},
+    ]
+    code, body3 = _ndpost(f"{base}/indexes/default/_bulk", lines3)
+    assert code == 200 and body3["errors"] is True
+    assert body3["items"][0]["index"]["status"] == 400
+    assert body3["items"][1]["index"]["result"] == "created"

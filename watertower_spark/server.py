@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -186,6 +187,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._search(index, eng, parsed, body)
             elif verb == "_msearch" and len(parts) == 3 and method == "POST":
                 self._msearch(index, eng, parsed, body)
+            elif verb == "_bulk" and len(parts) == 3 and method == "POST":
+                self._bulk(index, eng, body)
             elif verb == "_count" and len(parts) == 3:
                 self._count(index, eng, body)
             elif verb == "_stats" and len(parts) == 3 and method == "GET":
@@ -559,19 +562,165 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ---------------------------------------------------------- dispatch
 
+    def _bulk(self, index, eng, lines) -> None:
+        """ES ``_bulk`` (flagged extension): NDJSON action/source lines
+        — ``{"index"|"create": {...}}`` followed by a document source
+        (``unique_key`` required, like POST _doc; ``create`` behaves as
+        create-or-replace, mirroring the reference's POST quirk of
+        answering "created" even on replace), or ``{"delete": {"_id":
+        "d<hex>"}}`` (the GET-side hex id form).
+
+        Runs of CONSECUTIVE same-type actions coalesce into ONE batch
+        mutation each (upsert_documents / remove_documents) — the
+        write-side analogue of ``_msearch``: shard-rebuild and stats
+        costs are paid per run, not per document, while preserving ES's
+        in-order application for interleaved index/delete of one key.
+        Per-item outcomes use the ES items shape; structural NDJSON
+        errors 400 the whole request like ES does."""
+        from pyspark.sql import functions as F
+
+        from .operators.maintenance import remove_documents, upsert_documents
+        from .sources.corpus import DOC_SCHEMA, TAG_SCHEMA
+
+        if not isinstance(lines, list) or not lines:
+            self._send(400, {"message": "_bulk body must be NDJSON "
+                                        "action/source lines"})
+            return
+        acts: list = []  # ("index", source_dict) | ("delete", id_str)
+        i = 0
+        while i < len(lines):
+            a = lines[i]
+            if not isinstance(a, dict) or len(a) != 1:
+                self._send(400, {"message": f"line {i}: action line must "
+                                 "be one of index/create/delete"})
+                return
+            verb, meta = next(iter(a.items()))
+            if verb in ("index", "create"):
+                if i + 1 >= len(lines):
+                    self._send(400, {"message": f"line {i}: missing "
+                                                "source line"})
+                    return
+                src = lines[i + 1]
+                if not isinstance(src, dict):
+                    self._send(400, {"message": f"line {i + 1}: source "
+                                     "line must be a JSON object"})
+                    return
+                acts.append(("index", src))
+                i += 2
+            elif verb == "delete":
+                acts.append(("delete", str((meta or {}).get("_id") or "")))
+                i += 1
+            else:
+                self._send(400, {"message": f"line {i}: unsupported bulk "
+                                            f"action {verb!r}"})
+                return
+
+        t0 = time.time()
+        items: list = [None] * len(acts)
+        errors = False
+        spark = eng.spark
+        with self.mut_locks[index]:
+            runs: list = []
+            for j, (verb, _) in enumerate(acts):
+                if runs and runs[-1][0] == verb:
+                    runs[-1][1].append(j)
+                else:
+                    runs.append((verb, [j]))
+            cur = eng
+            for verb, idxs in runs:
+                if verb == "index":
+                    good = []
+                    for j in idxs:
+                        src = acts[j][1]
+                        if not src.get("unique_key"):
+                            items[j] = {"index": {
+                                "_id": "", "_index": index, "status": 400,
+                                "error": "unique_key is required"}}
+                            errors = True
+                        else:
+                            good.append(j)
+                    if not good:
+                        continue
+                    rows = [
+                        (acts[j][1]["unique_key"], None, None,
+                         _doc_text(acts[j][1]), acts[j][1].get("lang") or "")
+                        for j in good
+                    ]
+                    docs = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+                    trows = [
+                        (acts[j][1]["unique_key"],
+                         [str(t) for t in acts[j][1]["tags"]])
+                        for j in good if acts[j][1].get("tags")
+                    ]
+                    tags_df = spark.createDataFrame(
+                        trows, schema=TAG_SCHEMA) if trows else None
+                    upsert_documents(spark, cur.index_dir, docs, tags_df)
+                    cur = self._refresh(index, cur)
+                    urls = [acts[j][1]["unique_key"] for j in good]
+                    idmap = {
+                        r["url"]: int(r["doc_id"])
+                        for r in spark.read.parquet(cur._doc_map_path)
+                        .where(F.col("url").isin(urls)).collect()
+                    }
+                    for j in good:
+                        u = acts[j][1]["unique_key"]
+                        items[j] = {"index": {
+                            "_id": f"d{idmap[u]:x}" if u in idmap else "",
+                            "_index": index, "_type": "_doc",
+                            "result": "created", "status": 200}}
+                else:
+                    ids = {j: _parse_hex_id(acts[j][1]) for j in idxs}
+                    valid = [v for v in ids.values() if v is not None]
+                    urlmap: dict = {}
+                    if valid:
+                        urlmap = {
+                            int(r["doc_id"]): r["url"]
+                            for r in spark.read.parquet(cur._doc_map_path)
+                            .where(F.col("doc_id").isin(valid)).collect()
+                        }
+                    victims = sorted({
+                        urlmap[v] for v in valid if v in urlmap})
+                    if victims:
+                        remove_documents(
+                            spark, cur.index_dir,
+                            spark.createDataFrame(
+                                [(u,) for u in victims], "url string"))
+                        cur = self._refresh(index, cur)
+                    for j in idxs:
+                        v = ids[j]
+                        if v is None:
+                            items[j] = {"delete": {
+                                "_id": acts[j][1], "_index": index,
+                                "status": 400,
+                                "error": "id must be 'd' + hex"}}
+                            errors = True
+                        elif v in urlmap:
+                            items[j] = {"delete": {
+                                "_id": f"d{v:x}", "_index": index,
+                                "_type": "_doc", "result": "deleted",
+                                "status": 200}}
+                        else:
+                            items[j] = {"delete": {
+                                "_id": acts[j][1], "_index": index,
+                                "_type": "_doc", "result": "not_found",
+                                "status": 404}}
+                            errors = True
+        self._send(200, {"took": int((time.time() - t0) * 1000),
+                         "errors": errors, "items": items})
+
     def _with_body(self, method: str) -> None:
         n = int(self.headers.get("Content-Length") or 0)
         raw = self.rfile.read(n) if n else b""
         path = urllib.parse.urlparse(self.path).path.rstrip("/")
-        if path.endswith("/_msearch"):
-            # ES _msearch bodies are NDJSON, not one JSON document
+        if path.endswith("/_msearch") or path.endswith("/_bulk"):
+            # ES _msearch/_bulk bodies are NDJSON, not one JSON document
             try:
                 lines = [json.loads(l)
                          for l in raw.decode("utf-8").splitlines()
                          if l.strip()]
             except (json.JSONDecodeError, UnicodeDecodeError):
-                self._send(400, {"message": "_msearch body must be NDJSON "
-                                            "(one JSON object per line)"})
+                self._send(400, {"message": "body must be NDJSON "
+                                        "(one JSON object per line)"})
                 return
             self._route(method, lines)
             return
