@@ -338,6 +338,50 @@ def test_from_size_paging_over_http(served):
     assert paged == full
 
 
+def test_search_after_over_http(served):
+    """Deep paging by cursor: page 2 via search_after == page 2 via
+    from/size, the cursor taken from page 1's last (_score, _id) —
+    plus the 400 contracts (composition, malformed cursor)."""
+    base, eng = served
+    dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "request"}}}}}}
+    code, p1 = _post(f"{base}/indexes/default/_search?mode=bm25",
+                     dict(dsl, size=2))
+    assert code == 200 and len(p1["hits"]["hits"]) == 2
+    last = p1["hits"]["hits"][-1]
+    code, p2 = _post(
+        f"{base}/indexes/default/_search?mode=bm25",
+        dict(dsl, size=2, search_after=[last["_score"], last["_id"]]),
+    )
+    assert code == 200
+    code, p2_off = _post(f"{base}/indexes/default/_search?mode=bm25",
+                         dict(dsl, **{"size": 2, "from": 2}))
+    assert code == 200
+    assert [h["_id"] for h in p2["hits"]["hits"]] \
+        == [h["_id"] for h in p2_off["hits"]["hits"]]
+    # no overlap with page 1
+    assert not {h["_id"] for h in p2["hits"]["hits"]} \
+        & {h["_id"] for h in p1["hits"]["hits"]}
+    # 400: search_after with from
+    code, body = _post(
+        f"{base}/indexes/default/_search?mode=bm25",
+        dict(dsl, **{"size": 2, "from": 2,
+                     "search_after": [last["_score"], last["_id"]]}),
+    )
+    assert code == 400 and "mutually exclusive" in body["message"]
+    # 400: non-bm25 (parity) mode
+    code, body = _post(f"{base}/indexes/default/_search",
+                       dict(dsl, search_after=[1.0, "d1"]))
+    assert code == 400 and "bm25" in body["message"]
+    # 400: malformed cursor
+    code, body = _post(f"{base}/indexes/default/_search?mode=bm25",
+                       dict(dsl, search_after=[1.0]))
+    assert code == 400
+    code, body = _post(f"{base}/indexes/default/_search?mode=bm25",
+                       dict(dsl, search_after=[1.0, "zz"]))
+    assert code == 400 and "d<hex>" in body["message"]
+
+
 def test_highlight_over_http(served):
     base, eng = served
     dsl = {

@@ -1550,6 +1550,30 @@ LIMIT 10 OFFSET 10
 """
 
 
+def q_engine_search_after(spark, sf_dir):
+    """ES search_after deep paging: page 2 of 10 for the single-term
+    BM25 query 'table' fetched via the CURSOR path — the cursor is page
+    1's last (score, internal doc_id) — vs the same SQL OFFSET/LIMIT
+    oracle the from/size gate uses.  A pass certifies the cursor filter
+    is applied under every kernel's top-k (per-shard state stays
+    k-bounded at any depth, unlike offset's offset+k) and that the
+    cursor path tiles the (score DESC, doc_id ASC) total order exactly
+    like offset paging does."""
+    eng = _engine(spark, sf_dir)
+    p1 = eng.search("table", None, mode="bm25", k=10,
+                    materialize=False).collect()
+    last = p1[-1]
+    res = eng.search("table", None, mode="bm25", k=10,
+                     search_after=(last["score"], last["doc_id"]))
+    return res.select(_url_to_doc_id(F.col("url")),
+                      F.round("score", 6).alias("score"))
+
+
+# page 2 of the same total order — identical expected rows to the
+# offset gate, reached through an entirely different engine path
+ORACLE_ENGINE_SEARCH_AFTER = ORACLE_ENGINE_PAGING
+
+
 def q_engine_count(spark, sf_dir):
     """ES _count: match count of the AND+phrase query 'data table'
     without materialization, vs the SQL adjacency count."""
@@ -1903,6 +1927,7 @@ QUERIES: dict = {
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),
     "engine_fuzzy": (q_engine_fuzzy, ORACLE_ENGINE_FUZZY),
     "engine_paging": (q_engine_paging, ORACLE_ENGINE_PAGING),
+    "engine_search_after": (q_engine_search_after, ORACLE_ENGINE_SEARCH_AFTER),
     "engine_count": (q_engine_count, ORACLE_ENGINE_COUNT),
     "engine_highlight": (q_engine_highlight, ORACLE_ENGINE_HIGHLIGHT),
     "facet_tags": (q_facet_tags, ORACLE_FACET_TAGS),

@@ -93,7 +93,8 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     aggs: dict | None = None, offset: int = 0,
                     highlight: dict | None = None,
                     exclude_words: str = "",
-                    exclude_tags: list | None = None) -> dict:
+                    exclude_tags: list | None = None,
+                    search_after: tuple | None = None) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
@@ -117,7 +118,8 @@ def search_response(engine, search_word: str, tags: list | None = None,
         rows = engine.search(search_word, tags, lang=lang, mode=mode, k=k,
                              operator=operator, offset=offset,
                              exclude_words=exclude_words,
-                             exclude_tags=exclude_tags).collect()
+                             exclude_tags=exclude_tags,
+                             search_after=search_after).collect()
     took_ms = int((time.time() - t0) * 1000)
     hits = [
         {

@@ -64,8 +64,17 @@ def _phrase_relative_positions(doc_positions: np.ndarray, query_positions: list)
 
 def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                  avgdl: float, mode: str, k: int | None, n_tags: int = 0,
-                 docs_per_shard: int = 0, has_excl: bool = False):
+                 docs_per_shard: int = 0, has_excl: bool = False,
+                 after: tuple | None = None):
     """Per-shard candidate generation + scoring kernel.
+
+    ``after=(score, doc_id)`` is an ES ``search_after`` cursor: only
+    docs strictly after the cursor in the (score DESC, doc_id ASC)
+    total order survive.  The filter is applied to every scored batch
+    BEFORE it can enter the per-shard top-k, so the kth-score pruning
+    threshold is always derived from surviving docs only — block-max
+    skipping stays sound, and per-shard state stays k-bounded no matter
+    how deep the page (unlike offset paging's offset+k).
 
     SINGLE grouped input: postings + tag + doc-length rows for this
     shard ride the same exchange (kind column discriminates).  BM25 doc
@@ -84,6 +93,14 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                               "score": pd.Series(dtype="float64")})
         if groups_pdf.empty:
             return empty
+
+        def after_keep(ids: np.ndarray, sc: np.ndarray) -> np.ndarray:
+            # strictly after the cursor in (score DESC, doc_id ASC):
+            # score equality is exact — the same doc reproduces the same
+            # float64 under the same arithmetic, which is how the cursor
+            # was produced
+            a_s, a_d = after
+            return (sc < a_s) | ((sc == a_s) & (ids > a_d))
 
         term_rows: dict = {}
         tag_blobs: list = []
@@ -160,6 +177,9 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 dl = dl_of(ids)
                 denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
                 sc = idf * (BM25_K1 + 1.0) * tf / denom
+                if after is not None:
+                    m = after_keep(ids, sc)
+                    ids, sc = ids[m], sc[m]
                 top_ids = np.concatenate((top_ids, ids))
                 top_sc = np.concatenate((top_sc, sc))
                 if top_ids.size > k:
@@ -321,6 +341,11 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                         tf[i_] = _tf(t, bt)[int(np.searchsorted(_ids(t, bt), d_))]
                     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
                     sc += m["idf"] * (BM25_K1 + 1.0) * tf / denom
+                if after is not None:
+                    keep_a = after_keep(cand, sc)
+                    cand, sc = cand[keep_a], sc[keep_a]
+                    if cand.size == 0:
+                        continue
                 top_ids = np.concatenate((top_ids, cand))
                 top_sc = np.concatenate((top_sc, sc))
                 if top_ids.size > k:
@@ -471,6 +496,9 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                     # tfIdfScore (search.go:182-188); tf>0 always here
                     scores += (1.0 + np.log(tf)) * math.log(doc_count / df)
 
+        if after is not None and mode == "bm25":
+            keep_a = after_keep(cand.astype("int64"), scores)
+            cand, scores = cand[keep_a], scores[keep_a]
         out = pd.DataFrame({"doc_id": cand.astype("int64"),
                             "shard": np.full(cand.size, shard, dtype="int32"),
                             "score": scores})
@@ -578,6 +606,7 @@ class SearchEngine:
         offset: int = 0,
         exclude_words: str = "",
         exclude_tags: list | None = None,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Reference Search() semantics (mode='parity') or BM25 top-k
         (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
@@ -604,7 +633,25 @@ class SearchEngine:
         scoring and top-k.  A term that is both required and excluded
         yields the empty result (nothing can satisfy both); excluded
         terms/tags absent from the index exclude nothing.
+
+        ``search_after=(score, doc_id)`` is the ES deep-paging cursor
+        (flagged extension): return the next ``k`` docs STRICTLY after
+        the cursor in the (score DESC, doc_id ASC) total order.  Unlike
+        ``offset`` (whose per-shard kernels must keep offset+k
+        candidates), the cursor keeps per-shard state k-bounded at any
+        depth — page 10^6 costs the same as page 1 — which is why ES
+        itself deprecates deep from/size in favor of search_after.  The
+        cursor values are exactly the previous page's last (score,
+        internal doc_id); bm25 mode with k only, mutually exclusive
+        with ``offset``.
         """
+        if search_after is not None:
+            if mode != "bm25" or k is None:
+                raise ValueError("search_after requires mode='bm25' and k")
+            if offset:
+                raise ValueError("search_after and offset (from) are "
+                                 "mutually exclusive")
+            search_after = (float(search_after[0]), int(search_after[1]))
         if search_word and search_word.startswith("unique_key:"):
             return self.find_by_key(search_word[len("unique_key:"):])
         if operator == "or":
@@ -613,7 +660,8 @@ class SearchEngine:
             return self._search_or(search_word, list(tags or []), lang,
                                    k or 10, materialize, offset=offset,
                                    exclude_words=exclude_words,
-                                   exclude_tags=exclude_tags)
+                                   exclude_tags=exclude_tags,
+                                   search_after=search_after)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -771,6 +819,7 @@ class SearchEngine:
             float(self.manifest["avgdl"]), mode, k_eff, n_tags=len(set(tags)),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
             has_excl=has_excl,
+            after=search_after if mode == "bm25" else None,
         )
         results = groups_df.groupBy("shard").applyInPandas(
             kernel, schema=RESULT_SCHEMA
@@ -839,7 +888,8 @@ class SearchEngine:
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
                    materialize: bool, offset: int = 0,
                    exclude_words: str = "",
-                   exclude_tags: list | None = None) -> DataFrame:
+                   exclude_tags: list | None = None,
+                   search_after: tuple | None = None) -> DataFrame:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
         stay conjunctive (ES bool-filter semantics); ``exclude_words``/
         ``exclude_tags`` apply ES ``bool.must_not`` exclusion at posting-
@@ -885,7 +935,8 @@ class SearchEngine:
         return self._run_or(query_tokens, df_global, cand_shards, tags, k,
                             materialize, offset=offset,
                             excl_terms=excl_terms,
-                            excl_tags=exclude_tags or None)
+                            excl_tags=exclude_tags or None,
+                            search_after=search_after)
 
     def search_prefix(self, prefix: str, tags: list | None = None,
                       k: int = 10, max_expansions: int = 50,
@@ -1159,7 +1210,8 @@ class SearchEngine:
     def _run_or(self, query_tokens: dict, df_global: dict, cand_shards: set,
                 tags: list, k: int, materialize: bool,
                 offset: int = 0, excl_terms: list | None = None,
-                excl_tags: list | None = None) -> DataFrame:
+                excl_tags: list | None = None,
+                search_after: tuple | None = None) -> DataFrame:
         """Shared disjunctive execution: one grouped exchange (postings ∪
         tags ∪ dense dl arrays) → per-shard maxscore kernel → global
         top-k.  Callers supply resolved per-term global df (term_stats)
@@ -1232,6 +1284,7 @@ class SearchEngine:
             query_tokens, df_global, int(self.manifest["doc_count"]),
             float(self.manifest["avgdl"]), k + offset, n_tags=len(set(tags)),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
+            after=search_after,
         )
         results = groups_df.groupBy("shard").applyInPandas(
             kernel, schema=RESULT_SCHEMA

@@ -44,7 +44,7 @@ def _bm25(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarra
 
 def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                    avgdl: float, k: int, n_tags: int = 0,
-                   docs_per_shard: int = 0):
+                   docs_per_shard: int = 0, after: tuple | None = None):
     """Per-shard single-input kernel for disjunctive BM25 top-k (the
     shard's postings, tag sets and dense dl array all ride one grouped
     exchange, discriminated by ``kind``).
@@ -151,14 +151,23 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 decoded[row.name] = (ids, tfs)
             return decoded[row.name]
 
-        # bootstrap θ from the highest-ub term's own scores
-        _, idf0, row0 = terms[0]
-        ids0, tfs0 = decode(row0)
-        sc0 = _bm25(tfs0.astype("float64"), dl_of(ids0), idf0, avgdl)
-        if sc0.size > k:
-            theta = float(np.partition(sc0, -k)[-k])
-        else:
+        # bootstrap θ from the highest-ub term's own scores.  With a
+        # search_after cursor the bootstrap is UNSOUND (a doc's single-
+        # term score says nothing about whether its TOTAL score lands
+        # before or after the cursor, so the kth single-term score no
+        # longer lower-bounds the kth SURVIVING total) — deep pages run
+        # with θ=0, i.e. every term essential, exact scoring of the full
+        # union; the cursor filter below then bounds the emitted set.
+        if after is not None:
             theta = 0.0
+        else:
+            _, idf0, row0 = terms[0]
+            ids0, tfs0 = decode(row0)
+            sc0 = _bm25(tfs0.astype("float64"), dl_of(ids0), idf0, avgdl)
+            if sc0.size > k:
+                theta = float(np.partition(sc0, -k)[-k])
+            else:
+                theta = 0.0
 
         # essential split: non-essential = longest ascending-ub prefix
         # whose cumulative ub stays below θ
@@ -191,6 +200,10 @@ def make_or_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             tf = np.where(hit, tfs[idx_c], 0).astype("float64")
             scores += np.where(hit, _bm25(tf, dl, idf, avgdl), 0.0)
 
+        if after is not None:
+            a_s, a_d = after
+            keep = (scores < a_s) | ((scores == a_s) & (cand > a_d))
+            cand, scores = cand[keep], scores[keep]
         if cand.size > k:
             sel = np.lexsort((cand, -scores))[:k]
             cand, scores = cand[sel], scores[sel]

@@ -129,6 +129,22 @@ def _parse_dsl(body: dict) -> dict:
     return out
 
 
+def _parse_search_after(sa) -> tuple:
+    """Parse a body ``search_after: [score, id]`` cursor (id in the
+    hit's ``d<hex>`` form or the raw integer).  Returns (cursor, err)."""
+    if not isinstance(sa, list) or len(sa) != 2:
+        return None, "search_after must be [score, doc_id]"
+    try:
+        a_s = float(sa[0])
+        a_d = (_parse_hex_id(sa[1]) if isinstance(sa[1], str)
+               else int(sa[1]))
+    except (TypeError, ValueError):
+        return None, "search_after must be [score, doc_id]"
+    if a_d is None:
+        return None, "search_after doc_id must be d<hex> or int"
+    return (a_s, a_d), None
+
+
 def _parse_hex_id(doc_id: str) -> int | None:
     """The reference's GET-side id parse (handlers.go:23): strip the
     FIRST character (whatever it is) and parse the rest as hex uint32."""
@@ -261,8 +277,26 @@ class _Handler(BaseHTTPRequestHandler):
             })
             return
         # ES-style paging: body from/size (query-param fallbacks); size
-        # doubles as k, paging applies to scored (bm25/prefix) modes
+        # doubles as k, paging applies to scored (bm25/prefix) modes.
+        # Deep paging: body search_after = [score, id] (id in the hit's
+        # d<hex> form or the raw integer) — the cursor is exactly the
+        # previous page's last (_score, _id).
+        after = None
+        sa = (body or {}).get("search_after")
+        if sa is not None:
+            after, err = _parse_search_after(sa)
+            if err is None and (prefix is not None or aggs or hl
+                                or mode != "bm25"):
+                err = ("search_after requires a bm25-scored query and does "
+                       "not compose with prefix, aggs or highlight")
+            if err:
+                self._send(400, {"message": err})
+                return
         frm = int((body or {}).get("from") or query.get("from", [0])[0] or 0)
+        if after is not None and frm:
+            self._send(400, {"message": "search_after and from are "
+                                        "mutually exclusive"})
+            return
         size = (body or {}).get("size") or query.get("size", [None])[0]
         k = (int(size) if size is not None else 0) \
             or int(query.get("k", [0])[0]) or (
@@ -280,7 +314,8 @@ class _Handler(BaseHTTPRequestHandler):
                 index_name=index, prefix=prefix, max_expansions=max_exp,
                 aggs=aggs, offset=frm, highlight=hl, operator=operator,
                 exclude_words=dsl["excl_words"],
-                exclude_tags=dsl["excl_tags"]))
+                exclude_tags=dsl["excl_tags"],
+                search_after=after))
         except ValueError as exc:  # unsupported aggs spec
             self._send(400, {"message": str(exc)[:500]})
 
@@ -329,8 +364,19 @@ class _Handler(BaseHTTPRequestHandler):
                                  "should do not compose with prefix, aggs "
                                  "or highlight"})
                 return
-            if dsl["prefix"] is not None or hl or aggs or frm:
-                fallback[i] = (dsl, word, op, m, frm, size, hl, aggs)
+            after = None
+            if b.get("search_after") is not None:
+                after, err = _parse_search_after(b["search_after"])
+                if err is None and (m != "bm25" or dsl["prefix"] is not None
+                                    or aggs or hl or frm):
+                    err = ("search_after requires a bm25-scored query and "
+                           "does not compose with prefix, aggs, highlight "
+                           "or from")
+                if err:
+                    self._send(400, {"message": f"line {2 * i + 1}: {err}"})
+                    return
+            if dsl["prefix"] is not None or hl or aggs or frm or after:
+                fallback[i] = (dsl, word, op, m, frm, size, hl, aggs, after)
                 specs.append(None)
                 continue
             k = int(size) if size is not None else (
@@ -350,7 +396,7 @@ class _Handler(BaseHTTPRequestHandler):
             took = sub["took"]
             for (i, _), r in zip(batched, sub["responses"]):
                 resp_map[i] = r
-        for i, (dsl, word, op, m, frm, size, hl, aggs) in fallback.items():
+        for i, (dsl, word, op, m, frm, size, hl, aggs, after) in fallback.items():
             if dsl["prefix"] is not None and (word or aggs or hl):
                 self._send(400, {"message": f"line {2 * i + 1}: prefix "
                                  "query composes with a tags filter only"})
@@ -364,7 +410,8 @@ class _Handler(BaseHTTPRequestHandler):
                     max_expansions=dsl["max_expansions"], aggs=aggs,
                     offset=frm, highlight=hl, operator=op,
                     exclude_words=dsl["excl_words"],
-                    exclude_tags=dsl["excl_tags"])
+                    exclude_tags=dsl["excl_tags"],
+                    search_after=after)
             except ValueError as exc:  # unsupported aggs spec
                 self._send(400, {"message": f"line {2 * i + 1}: "
                                             f"{str(exc)[:400]}"})
