@@ -434,6 +434,34 @@ def test_search_fuzzy_expansion_and_cap(spark, tagged_index):
     assert {r["url"] for r in odd} == {f"tg://{i:03d}" for i in range(1, 8, 2)}
 
 
+def test_get_docs_batch(spark, tagged_index):
+    """ES _mget's engine half: N ids in ONE shard-pruned scan; missing
+    ids produce no row; d<hex> and int forms both accepted; plan prunes
+    to the touched shards only."""
+    eng = SearchEngine(spark, tagged_index)
+    ids = [r["doc_id"] for r in eng.find_by_key("tg://002").collect()] \
+        + [r["doc_id"] for r in eng.find_by_key("tg://005").collect()]
+    got = eng.get_docs(ids + [999999]).collect()
+    assert {r["url"] for r in got} == {"tg://002", "tg://005"}
+    assert all(r["score"] == 0.0 for r in got)
+    # d<hex> form resolves to the same docs
+    hex_got = eng.get_docs([f"d{ids[0]:x}"]).collect()
+    assert hex_got[0]["url"] == "tg://002"
+    # bad form raises
+    with pytest.raises(ValueError, match="hex"):
+        eng.get_docs(["x42"])
+    # empty id list → empty frame, same schema, no job surprises
+    assert eng.get_docs([]).count() == 0
+    # the scan prunes doc_store partitions on the shard column: the
+    # physical plan carries a shard PartitionFilter (inputFiles() lists
+    # pre-pruning files, so pin the plan instead)
+    plan = (eng.get_docs(ids)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PartitionFilters" in plan
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "shard" in pf_line and "IN" in pf_line.upper()
+
+
 def test_bm25_paging_slices_the_total_order(spark, tagged_index):
     """offset/k pages tile the full ranking without overlap or gaps,
     for both the AND kernel and the OR kernel."""

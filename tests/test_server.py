@@ -338,6 +338,33 @@ def test_from_size_paging_over_http(served):
     assert paged == full
 
 
+def test_mget_over_http(served):
+    """_mget: request-order docs with found flags, equal to per-id
+    GET _doc; ids/docs body forms; 400 contracts."""
+    base, eng = served
+    rows = eng.search("request", mode="bm25", k=2).collect()
+    hex_ids = [f"d{int(r['doc_id']):x}" for r in rows]
+    code, body = _post(f"{base}/indexes/default/_mget",
+                       {"ids": [hex_ids[0], "dffffff", hex_ids[1]]})
+    assert code == 200
+    docs = body["docs"]
+    assert [d["_id"] for d in docs] == [hex_ids[0], "dffffff", hex_ids[1]]
+    assert [d["found"] for d in docs] == [True, False, True]
+    # each found doc equals the single-GET payload
+    for d in (docs[0], docs[2]):
+        code, single = _get(f"{base}/indexes/default/_doc/{d['_id']}")
+        assert code == 200 and single["_source"] == d["_source"]
+    # ES docs form
+    code, body2 = _post(f"{base}/indexes/default/_mget",
+                        {"docs": [{"_id": hex_ids[0]}]})
+    assert code == 200 and body2["docs"][0]["found"] is True
+    # 400s: empty / malformed
+    code, b = _post(f"{base}/indexes/default/_mget", {"ids": []})
+    assert code == 400
+    code, b = _post(f"{base}/indexes/default/_mget", {"ids": ["zz"]})
+    assert code == 400 and "parse error" in b["message"]
+
+
 def test_search_after_over_http(served):
     """Deep paging by cursor: page 2 via search_after == page 2 via
     from/size, the cursor taken from page 1's last (_score, _id) —

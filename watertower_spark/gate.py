@@ -1447,6 +1447,23 @@ SELECT doc_id, text FROM documents WHERE doc_id = 42
 """
 
 
+def q_engine_mget(spark, sf_dir):
+    """ES ``_mget`` (flagged extension): four present ids plus one miss
+    fetched in ONE shard-pruned doc_store scan (SearchEngine.get_docs)
+    vs a SQL IN-list point select.  Internal ids are the reference's
+    counter allocation (oracle doc_id + 1 — pinned independently by the
+    doc_id_map gate), so the lookup addresses them directly; the missing
+    id contributes no row, matching the oracle's 4."""
+    eng = _engine(spark, sf_dir)
+    res = eng.get_docs([4, 58, 212, 500, 10 ** 9])
+    return res.select(_url_to_doc_id(F.col("url")), "text", "lang")
+
+
+ORACLE_ENGINE_MGET = """
+SELECT doc_id, text, lang FROM documents WHERE doc_id IN (3, 57, 211, 499)
+"""
+
+
 def q_engine_prefix(spark, sf_dir):
     """Prefix (wildcard ``s*``) BM25 top-10 vs a full SQL reconstruction:
     the oracle expands the term dictionary on LIKE 's%' with the SAME cap
@@ -1924,6 +1941,7 @@ QUERIES: dict = {
     "engine_msearch": (q_engine_msearch, ORACLE_ENGINE_MSEARCH),
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
+    "engine_mget": (q_engine_mget, ORACLE_ENGINE_MGET),
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),
     "engine_fuzzy": (q_engine_fuzzy, ORACLE_ENGINE_FUZZY),
     "engine_paging": (q_engine_paging, ORACLE_ENGINE_PAGING),

@@ -885,6 +885,36 @@ class SearchEngine:
                     *self._extra_doc_cols())
         )
 
+    def get_docs(self, doc_ids: list) -> DataFrame:
+        """Batch fetch by docID — ES ``_mget`` (flagged extension; the
+        reference serves one GET ``_doc/{id}`` per request,
+        handlers.go:16-56).  N ids resolve in ONE shard-pruned doc_store
+        read: ids map to shards arithmetically (dense per-shard
+        allocation), so the scan prunes to exactly the touched shard
+        partitions and the isin filter pushes into parquet — never one
+        job per id.  Accepts int or ``d<hex>`` forms; missing ids simply
+        produce no row (the HTTP layer restores request order and emits
+        found=false)."""
+        ids = []
+        for d in doc_ids:
+            if isinstance(d, str):
+                if not d.startswith("d"):
+                    raise ValueError(f"document id {d!r} must be 'd' + hex")
+                d = int(d[1:], 16)
+            ids.append(int(d))
+        if not ids:
+            return self.doc_store.where(F.lit(False)).select(
+                "doc_id", "url", F.lit(0.0).alias("score"), "text", "lang",
+                *self._extra_doc_cols())
+        dps = int(self.manifest["docs_per_shard"])
+        shards = sorted({(i - 1) // dps for i in ids})
+        return (
+            self.doc_store
+            .where(F.col("shard").isin(shards) & F.col("doc_id").isin(ids))
+            .select("doc_id", "url", F.lit(0.0).alias("score"), "text", "lang",
+                    *self._extra_doc_cols())
+        )
+
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
                    materialize: bool, offset: int = 0,
                    exclude_words: str = "",

@@ -207,6 +207,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._bulk(index, eng, body)
             elif verb == "_count" and len(parts) == 3:
                 self._count(index, eng, body)
+            elif verb == "_mget" and len(parts) == 3:
+                self._mget(index, eng, body)
             elif verb == "_stats" and len(parts) == 3 and method == "GET":
                 self._send(200, eng.stats())
             elif verb == "_doc" and len(parts) == 4 and method == "GET":
@@ -461,6 +463,42 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {**base, "_source": None, "found": False})
             return
         self._send(200, {**base, "_source": _source_doc(row), "found": True})
+
+    def _mget(self, index, eng, body: dict) -> None:
+        """ES ``_mget`` (flagged extension): N ids → ONE shard-pruned
+        doc_store scan (SearchEngine.get_docs), response docs restored
+        to request order with per-id found flags — the batch analogue of
+        GET ``_doc/{id}``, the read-side sibling of ``_msearch``.
+        Accepts ``{"ids": [...]}`` or ES's ``{"docs": [{"_id": ...}]}``;
+        ids in the hit ``d<hex>`` form."""
+        ids = (body or {}).get("ids")
+        if ids is None and isinstance((body or {}).get("docs"), list):
+            ids = [(d or {}).get("_id") for d in body["docs"]]
+        if not isinstance(ids, list) or not ids:
+            self._send(400, {"message": "_mget body must carry a non-empty "
+                                        "'ids' or 'docs' list"})
+            return
+        nums = []
+        for i in ids:
+            num = _parse_hex_id(i) if isinstance(i, str) else None
+            if num is None:
+                self._send(400, {
+                    "message": f"parse error id '{i}' of index '{index}'"
+                })
+                return
+            nums.append(num)
+        rows = {int(r["doc_id"]): r for r in eng.get_docs(nums).collect()}
+        docs = []
+        for num in nums:
+            base = {"_id": f"d{num:x}", "_index": index, "_type": "_doc",
+                    "_version": 0, "_primary_term": 0, "_seq_no": 0}
+            row = rows.get(num)
+            if row is None:
+                docs.append({**base, "_source": None, "found": False})
+            else:
+                docs.append({**base, "_source": _source_doc(row),
+                             "found": True})
+        self._send(200, {"docs": docs})
 
     def _get_source(self, index, eng, doc_id: str) -> None:
         num = _parse_hex_id(doc_id)
