@@ -712,3 +712,36 @@ def test_streaming_then_compaction_lifecycle(spark, tmp_index_root):
         want = [(r["url"], round(r["score"], 9))
                 for r in ref.search(q, tg, "en", mode=mode, k=10).collect()]
         assert got == want, (q, tg, mode)
+
+
+def test_delete_by_query_differential(spark, tmp_index_root):
+    """ES _delete_by_query: deleting the parity match set of 'post'
+    leaves an index that answers every query identically to a fresh
+    build over the surviving docs (same scores — df/avgdl/N all follow
+    the mutation's delta path), and an empty query deletes nothing."""
+    rows = corpus.fixture_rows(("searchdata",))
+    docs, tags = _mkdocs(spark, rows)
+    idx = f"{tmp_index_root}/dbq"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, docs_per_shard=3, default_lang="en")
+    eng = SearchEngine(spark, idx)
+    match = {r["url"] for r in eng.search("post", None, "en").collect()}
+    assert match  # the victim set is non-trivial
+    assert eng.delete_by_query("") == 0  # empty query matches nothing
+    n = eng.delete_by_query("post", lang="en")
+    assert n == len(match)
+    keep = [r for r in rows if r["url"] not in match]
+    idx2 = f"{tmp_index_root}/dbq_fresh"
+    shutil.rmtree(idx2, ignore_errors=True)
+    docs2, tags2 = _mkdocs(spark, keep)
+    build_index(docs2, tags2, idx2, docs_per_shard=3, default_lang="en")
+    eng1 = SearchEngine(spark, idx)
+    eng2 = SearchEngine(spark, idx2)
+    assert load_manifest(idx)["doc_count"] == len(keep)
+    for q in ("the", "response", "request"):
+        a = {(r["url"], round(r["score"], 9)) for r in
+             eng1.search(q, None, "en", mode="bm25", k=20).collect()}
+        b = {(r["url"], round(r["score"], 9)) for r in
+             eng2.search(q, None, "en", mode="bm25", k=20).collect()}
+        assert a == b, q
+    assert eng1.search("post", None, "en").count() == 0

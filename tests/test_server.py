@@ -632,3 +632,40 @@ def test_bulk_lifecycle_over_http(crud_served):
     assert code == 200 and body3["errors"] is True
     assert body3["items"][0]["index"]["status"] == 400
     assert body3["items"][1]["index"]["result"] == "created"
+
+
+def test_delete_by_query_over_http(crud_served):
+    """_delete_by_query: the bool-DSL match set removed in one batch
+    mutation; non-matching docs intact; 400 contracts."""
+    base = crud_served
+    for i in (1, 2):
+        code, body = _req(f"{base}/indexes/default/_doc", "POST", {
+            "unique_key": f"dbq://{i}", "lang": "en",
+            "title": f"z{i}", "content": "quaggamule stripes unique",
+        })
+        assert code == 200
+    dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "quaggamule"}}}}}}
+    code, sr = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200 and len(sr["hits"]["hits"]) == 2
+    code, body = _post(f"{base}/indexes/default/_delete_by_query", dsl)
+    assert code == 200
+    assert body["deleted"] == 2 and body["total"] == 2
+    assert body["failures"] == []
+    code, sr = _post(f"{base}/indexes/default/_search", dsl)
+    assert sr["hits"]["hits"] == []
+    # untouched docs still searchable
+    other = {"query": {"bool": {"must": {"match_phrase": {"content": {
+        "query": "request"}}}}}}
+    code, sr = _post(f"{base}/indexes/default/_search", other)
+    assert sr["hits"]["hits"]
+    # deleting the same set again deletes zero
+    code, body = _post(f"{base}/indexes/default/_delete_by_query", dsl)
+    assert code == 200 and body["deleted"] == 0
+    # 400: no predicate / unsupported clause
+    code, body = _post(f"{base}/indexes/default/_delete_by_query", {})
+    assert code == 400 and "requires" in body["message"]
+    code, body = _post(f"{base}/indexes/default/_delete_by_query", {
+        "query": {"bool": {"should": {"match_phrase": {"content": {
+            "query": "x"}}}}}})
+    assert code == 400

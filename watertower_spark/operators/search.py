@@ -915,6 +915,32 @@ class SearchEngine:
                     *self._extra_doc_cols())
         )
 
+    def delete_by_query(self, search_word: str, tags: list | None = None,
+                        lang: str = "", exclude_words: str = "",
+                        exclude_tags: list | None = None) -> int:
+        """ES ``_delete_by_query`` (flagged extension; the reference
+        deletes one id per DELETE, handlers.go:240-258).  The parity
+        match set — unbounded conjunctive AND + phrase filter, optional
+        must_not exclusion — becomes the victim relation of ONE
+        ``remove_documents`` mutation: (doc_id, shard) results join
+        doc_map for urls and flow straight into the mutation's victim
+        snapshot write, so the match set NEVER materializes on the
+        driver (a head-term delete over a 10^12-doc corpus stays a
+        distributed plan end to end).  Returns the number of documents
+        removed; an empty query (no words, no tags) matches nothing and
+        deletes nothing.  Takes the index's single-writer lease like
+        every mutation (IndexLockedError when held elsewhere)."""
+        from .maintenance import remove_documents
+
+        res = self.search(search_word, tags, lang=lang, mode="parity",
+                          materialize=False, exclude_words=exclude_words,
+                          exclude_tags=exclude_tags)
+        doc_map = self.spark.read.parquet(self._doc_map_path)
+        urls = doc_map.join(res.select("doc_id"), "doc_id").select("url")
+        before = int(self.manifest["doc_count"])
+        m2 = remove_documents(self.spark, self.index_dir, urls)
+        return before - int(m2["doc_count"])
+
     def _search_or(self, search_word: str, tags: list, lang: str, k: int,
                    materialize: bool, offset: int = 0,
                    exclude_words: str = "",

@@ -209,6 +209,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._count(index, eng, body)
             elif verb == "_mget" and len(parts) == 3:
                 self._mget(index, eng, body)
+            elif verb == "_delete_by_query" and len(parts) == 3 \
+                    and method == "POST":
+                self._delete_by_query(index, eng, body)
             elif verb == "_stats" and len(parts) == 3 and method == "GET":
                 self._send(200, eng.stats())
             elif verb == "_doc" and len(parts) == 4 and method == "GET":
@@ -499,6 +502,45 @@ class _Handler(BaseHTTPRequestHandler):
                 docs.append({**base, "_source": _source_doc(row),
                              "found": True})
         self._send(200, {"docs": docs})
+
+    def _delete_by_query(self, index, eng, body: dict) -> None:
+        """ES ``_delete_by_query`` (flagged extension): the same bool
+        DSL as ``_search`` (match_phrase + terms filter + must_not; no
+        should/prefix — those aren't match predicates), resolved to the
+        parity match set and removed in ONE batch mutation
+        (SearchEngine.delete_by_query).  Serialized per index like every
+        write route; the engine snapshot swaps on success."""
+        import time as _time
+
+        try:
+            dsl = _parse_dsl(body)
+        except ValueError as exc:
+            self._send(400, {"message": str(exc)[:500]})
+            return
+        if dsl["should_word"] or dsl["prefix"] is not None:
+            self._send(400, {
+                "message": "_delete_by_query supports bool.must."
+                           "match_phrase + filter.terms + must_not only"
+            })
+            return
+        if not dsl["search_word"] and not dsl["tags"]:
+            self._send(400, {
+                "message": "_delete_by_query requires a match_phrase "
+                           "query or a terms filter"
+            })
+            return
+        t0 = _time.time()
+        with self.mut_locks[index]:
+            n = eng.delete_by_query(
+                dsl["search_word"], dsl["tags"], lang=dsl["lang"],
+                exclude_words=dsl["excl_words"],
+                exclude_tags=dsl["excl_tags"])
+            self._refresh(index, eng)
+        self._send(200, {
+            "took": int((_time.time() - t0) * 1000),
+            "total": n, "deleted": n,
+            "failures": [],
+        })
 
     def _get_source(self, index, eng, doc_id: str) -> None:
         num = _parse_hex_id(doc_id)
