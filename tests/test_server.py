@@ -669,3 +669,33 @@ def test_delete_by_query_over_http(crud_served):
         "query": {"bool": {"should": {"match_phrase": {"content": {
             "query": "x"}}}}}})
     assert code == 400
+
+
+def test_analyze_over_http(served):
+    """_analyze mirrors the query-analysis pipeline: stemming under
+    'en', positions over kept words, analyzer override, byte-length
+    n-gram heuristic when empty, 400 on missing text."""
+    base, _ = served
+    code, body = _post(f"{base}/indexes/default/_analyze",
+                       {"text": "Running tables quickly.", "analyzer": "en"})
+    assert code == 200
+    toks = body["tokens"]
+    assert [t["position"] for t in toks] == list(range(len(toks)))
+    from watertower_spark.analyzers import analyze_query
+    want = sorted((p, t) for t, ps in
+                  analyze_query("Running tables quickly.", "en").items()
+                  for p in ps)
+    assert [(t["position"], t["token"]) for t in toks] == want
+    assert any(t["token"] == "run" for t in toks)  # Porter2 stemmed
+    # analyzer omitted → the index's default lang ('en' here)
+    code, body2 = _post(f"{base}/indexes/default/_analyze",
+                        {"text": "Running tables quickly."})
+    assert code == 200 and body2 == body
+    # empty analyzer string → byte-length n-gram heuristic (bigrams)
+    code, body3 = _post(f"{base}/indexes/default/_analyze",
+                        {"text": "abc", "analyzer": ""})
+    assert code == 200
+    assert {t["token"] for t in body3["tokens"]} == {"ab", "bc"}
+    # 400: no text
+    code, b = _post(f"{base}/indexes/default/_analyze", {})
+    assert code == 400

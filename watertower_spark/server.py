@@ -212,6 +212,8 @@ class _Handler(BaseHTTPRequestHandler):
             elif verb == "_delete_by_query" and len(parts) == 3 \
                     and method == "POST":
                 self._delete_by_query(index, eng, body)
+            elif verb == "_analyze" and len(parts) == 3:
+                self._analyze(index, eng, body)
             elif verb == "_stats" and len(parts) == 3 and method == "GET":
                 self._send(200, eng.stats())
             elif verb == "_doc" and len(parts) == 4 and method == "GET":
@@ -541,6 +543,36 @@ class _Handler(BaseHTTPRequestHandler):
             "total": n, "deleted": n,
             "failures": [],
         })
+
+    def _analyze(self, index, eng, body: dict) -> None:
+        """ES ``_analyze`` (flagged extension): run the index's QUERY
+        analysis pipeline over a caller-supplied string and return the
+        emitted tokens in position order — the standard way to debug
+        "why didn't this match".  ``analyzer`` overrides the index's
+        analyzer/default lang (empty engages the reference's byte-length
+        n-gram heuristic, A7/Q1); tokens mirror the analysis-side
+        contract exactly (same splitter/stemmer/stop handling,
+        positions over KEPT words, A8).  Character offsets are not
+        tracked by the engine's analyzers and are deliberately absent."""
+        from .analyzers import analyze_query
+
+        text = (body or {}).get("text")
+        if not isinstance(text, str):
+            self._send(400, {
+                "message": "_analyze body must carry a string 'text'"
+            })
+            return
+        lang = (body or {}).get("analyzer")
+        if lang is None:
+            lang = (eng.manifest.get("analyzer_lang")
+                    or eng.manifest.get("default_lang") or "")
+        token_map = analyze_query(text, lang)
+        out = sorted(
+            ((p, t) for t, ps in token_map.items() for p in ps),
+        )
+        self._send(200, {"tokens": [
+            {"token": t, "position": p, "type": "word"} for p, t in out
+        ]})
 
     def _get_source(self, index, eng, doc_id: str) -> None:
         num = _parse_hex_id(doc_id)
