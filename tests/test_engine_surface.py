@@ -622,3 +622,57 @@ def test_msearch_batches_equal_per_query_results(spark, tagged_index):
     assert 3 not in by_qid  # the no-match query contributes nothing
     # results arrive qid-major in the DataFrame's declared order
     assert [r["qid"] for r in rows] == sorted(r["qid"] for r in rows)
+
+
+def test_zero_doc_index_loads_and_serves_empty(spark, tmp_index_root):
+    """A zero-doc index (created empty, or emptied by delete_by_query)
+    must LOAD — empty table dirs fall back to canonical schemas — and
+    serve empty results on every read path; a subsequent append makes
+    it a normal index."""
+    from watertower_spark.operators.maintenance import append_documents
+
+    docs0 = spark.createDataFrame([], corpus.DOC_SCHEMA)
+    tags0 = spark.createDataFrame([], corpus.TAG_SCHEMA)
+    idx = f"{tmp_index_root}/zero_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    m = build_index(docs0, tags0, idx, default_lang="en", docs_per_shard=3)
+    assert m["doc_count"] == 0
+    eng = SearchEngine(spark, idx)
+    assert eng.search("anything", None, "en").count() == 0
+    assert eng.search("anything", None, "en", mode="bm25", k=5).count() == 0
+    assert eng.search("x", None, "en", mode="bm25", operator="or", k=5).count() == 0
+    assert eng.find_by_key("nope://x").count() == 0
+    assert eng.get_docs([1, 2]).count() == 0
+    assert eng.count("anything") == 0
+    # grows into a normal index
+    rows = corpus.fixture_rows(("searchdata",))[:3]
+    d2 = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA)
+    t2 = spark.createDataFrame([(r["url"], r["tags"]) for r in rows],
+                               schema=corpus.TAG_SCHEMA)
+    m2 = append_documents(spark, idx, d2, t2)
+    assert m2["doc_count"] == 3
+    eng2 = SearchEngine(spark, idx)
+    assert eng2.search("the", None, "en").count() > 0
+
+
+def test_delete_by_query_to_empty_then_reload(spark, tmp_index_root):
+    """Emptying an index via delete_by_query leaves it loadable and
+    serving empty results (the read-path half of the zero-doc fix)."""
+    rows = corpus.fixture_rows(("searchdata",))[:4]
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA)
+    tags = spark.createDataFrame([(r["url"], r["tags"]) for r in rows],
+                                 schema=corpus.TAG_SCHEMA)
+    idx = f"{tmp_index_root}/empty_by_dbq"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(docs, tags, idx, default_lang="en", docs_per_shard=2)
+    eng = SearchEngine(spark, idx)
+    n = eng.delete_by_query("the", lang="en")  # 'the' matches every doc
+    assert n == 4
+    eng2 = SearchEngine(spark, idx)
+    assert int(eng2.manifest["doc_count"]) == 0
+    assert eng2.search("the", None, "en").count() == 0
+    assert eng2.search("the", None, "en", mode="bm25", k=5).count() == 0

@@ -699,3 +699,83 @@ def test_analyze_over_http(served):
     # 400: no text
     code, b = _post(f"{base}/indexes/default/_analyze", {})
     assert code == 400
+
+
+def test_index_lifecycle_over_http(spark, tmp_index_root):
+    """PUT index → GET list/info → _bulk → _search → DELETE index →
+    404, plus ownership and validation 400s — create-to-serve without
+    a restart."""
+    import os as _os
+
+    root = f"{tmp_index_root}/http_idx_root"
+    shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root, exist_ok=True)
+    # one statically mounted index to pin the ownership rule
+    rows = corpus.fixture_rows(("searchdata",))[:2]
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=corpus.DOC_SCHEMA)
+    tags = spark.createDataFrame([(r["url"], r["tags"]) for r in rows],
+                                 schema=corpus.TAG_SCHEMA)
+    static_idx = f"{tmp_index_root}/http_static"
+    shutil.rmtree(static_idx, ignore_errors=True)
+    build_index(docs, tags, static_idx, docs_per_shard=3, default_lang="en")
+    server = make_server({"static": SearchEngine(spark, static_idx)},
+                         index_root=root)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, body = _req(f"{base}/indexes/logs", "PUT",
+                          {"analyzer": "en", "docs_per_shard": 4})
+        assert code == 200 and body["acknowledged"] is True
+        code, body = _get(f"{base}/indexes")
+        assert code == 200 and body["indexes"] == ["logs", "static"]
+        code, info = _get(f"{base}/indexes/logs")
+        assert code == 200 and info["logs"]["doc_count"] == 0
+        # empty index searches empty, not 500
+        dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "anything"}}}}}}
+        code, sr = _post(f"{base}/indexes/logs/_search", dsl)
+        assert code == 200 and sr["hits"]["hits"] == []
+        # bulk-load documents into the fresh index
+        nd = "\n".join([
+            json.dumps({"index": {}}),
+            json.dumps({"unique_key": "lg://1", "lang": "en",
+                        "title": "one", "content": "wombat alpha"}),
+            json.dumps({"index": {}}),
+            json.dumps({"unique_key": "lg://2", "lang": "en",
+                        "title": "two", "content": "wombat beta"}),
+        ]) + "\n"
+        req = urllib.request.Request(
+            f"{base}/indexes/logs/_bulk", data=nd.encode(),
+            headers={"Content-Type": "application/x-ndjson"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            bulk = json.loads(r.read())
+        assert bulk["errors"] is False
+        dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "wombat"}}}}}}
+        code, sr = _post(f"{base}/indexes/logs/_search", dsl)
+        assert code == 200 and len(sr["hits"]["hits"]) == 2
+        code, info = _get(f"{base}/indexes/logs")
+        assert info["logs"]["doc_count"] == 2
+        # duplicate create → 400; invalid name → 400
+        code, body = _req(f"{base}/indexes/logs", "PUT", {})
+        assert code == 400 and "already exists" in body["message"]
+        code, body = _req(f"{base}/indexes/bad%20name%21", "PUT", {})
+        assert code == 400
+        # statically mounted index cannot be deleted
+        code, body = _req(f"{base}/indexes/static", "DELETE")
+        assert code == 400 and "statically mounted" in body["message"]
+        # owned index deletes cleanly
+        code, body = _req(f"{base}/indexes/logs", "DELETE")
+        assert code == 200 and body["acknowledged"] is True
+        assert not _os.path.exists(f"{root}/logs")
+        code, sr = _post(f"{base}/indexes/logs/_search", dsl)
+        assert code == 404
+        code, body = _req(f"{base}/indexes/logs", "DELETE")
+        assert code == 404
+    finally:
+        server.shutdown()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(static_idx, ignore_errors=True)

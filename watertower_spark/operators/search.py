@@ -536,18 +536,44 @@ class SearchEngine:
 
         from .index_build import table_path
 
-        self.postings = spark.read.parquet(f"{index_dir}/postings")
-        self.doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
-        self.doc_len = spark.read.parquet(f"{index_dir}/doc_len")
-        self.doc_store = spark.read.parquet(f"{index_dir}/doc_store")
+        from .index_build import DOC_LEN_SCHEMA, POSTING_SCHEMA, TAG_SCHEMA
+
+        def _read_tbl(path: str, schema: str):
+            """Read an index table; a dir that EXISTS but holds zero
+            parquet files (a zero-doc index: created empty, or a
+            delete_by_query that removed every doc) falls back to an
+            empty frame with the table's canonical schema so the engine
+            loads and serves empty results.  A MISSING dir still raises
+            — that's a broken index, not an empty one."""
+            from pyspark.errors import AnalysisException
+
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:
+                if not fsio.exists(path):
+                    raise
+                return spark.createDataFrame([], schema)
+
+        self.postings = _read_tbl(f"{index_dir}/postings", POSTING_SCHEMA)
+        self.doc_stats = _read_tbl(f"{index_dir}/doc_stats",
+                                   "doc_id long, wc int, twc int, shard int")
+        self.doc_len = _read_tbl(f"{index_dir}/doc_len", DOC_LEN_SCHEMA)
+        self.doc_store = _read_tbl(
+            f"{index_dir}/doc_store",
+            "url string, warc_ts timestamp, text string, lang string, "
+            "doc_id long, shard int",
+        )
         self.tags = (
-            spark.read.parquet(f"{index_dir}/tags") if self.manifest.get("has_tags") else None
+            _read_tbl(f"{index_dir}/tags", TAG_SCHEMA)
+            if self.manifest.get("has_tags") else None
         )
         # replaced tables resolve through the manifest's versioned
         # pointers (object-store-safe publish; see maintenance)
         ts_path = table_path(index_dir, self.manifest, "term_stats")
         self.term_stats = (
-            spark.read.parquet(ts_path) if fsio.exists(ts_path) else None
+            _read_tbl(ts_path, "term string, df long, cf long, "
+                               "shards array<int>, tb int")
+            if fsio.exists(ts_path) else None
         )
         self._doc_map_path = table_path(index_dir, self.manifest, "doc_map")
         self._stats_cache: dict = {}

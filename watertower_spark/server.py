@@ -62,6 +62,7 @@ they may fail if the mutation's GC removes a table version mid-read
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import urllib.parse
@@ -167,6 +168,9 @@ class _Handler(BaseHTTPRequestHandler):
     engines: dict = {}       # index name -> SearchEngine (bound by make_server)
     mut_locks: dict = {}     # index name -> threading.Lock (bound by make_server)
     fair_pools: bool = True  # per-request scheduler pools (bound by make_server)
+    index_root: str | None = None  # where PUT /indexes/{name} creates indexes
+    spark_ref = None         # SparkSession for index creation (bound by make_server)
+    admin_lock = threading.Lock()  # serializes create/drop across requests
 
     def log_message(self, *args):  # tests/services don't want stderr spam
         pass
@@ -184,6 +188,20 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self, method: str, body: dict | None) -> None:
         parsed = urllib.parse.urlparse(self.path)
         parts = [urllib.parse.unquote(p) for p in parsed.path.split("/") if p]
+        if parts and parts[0] == "indexes" and len(parts) == 1 \
+                and method == "GET":
+            self._send(200, {"indexes": sorted(self.engines)})
+            return
+        if parts and parts[0] == "indexes" and len(parts) == 2:
+            if method == "PUT":
+                self._create_index(parts[1], body)
+                return
+            if method == "DELETE":
+                self._drop_index(parts[1])
+                return
+            if method == "GET":
+                self._index_info(parts[1])
+                return
         if len(parts) < 3 or parts[0] != "indexes":
             self._send(404, {"message": f"no route for {parsed.path!r}"})
             return
@@ -543,6 +561,99 @@ class _Handler(BaseHTTPRequestHandler):
             "total": n, "deleted": n,
             "failures": [],
         })
+
+    # ---------------------------------------------------- index lifecycle
+
+    def _create_index(self, name: str, body: dict) -> None:
+        """ES ``PUT /{index}`` (flagged extension — the reference's index
+        is a static config option, watertower.go:62-63): build a ZERO-DOC
+        index under the server's ``index_root`` and register a live
+        engine for it, so create → ``_bulk`` → ``_search`` works without
+        a restart.  Body: ``analyzer`` / ``default_lang`` /
+        ``docs_per_shard`` (the manifest knobs a build takes)."""
+        import re as _re
+
+        if self.index_root is None or self.spark_ref is None:
+            self._send(400, {
+                "message": "index creation requires a server started "
+                           "with index_root (make_server(index_root=...))"
+            })
+            return
+        if not _re.fullmatch(r"[a-zA-Z0-9][a-zA-Z0-9_.-]{0,127}", name) \
+                or name.startswith("_"):
+            self._send(400, {"message": f"invalid index name '{name}'"})
+            return
+        from .operators.index_build import build_index
+        from .operators.search import SearchEngine
+        from .sources.corpus import DOC_SCHEMA, TAG_SCHEMA
+
+        b = body or {}
+        with self.admin_lock:
+            idx_dir = os.path.join(self.index_root, name)
+            if name in self.engines or os.path.exists(idx_dir):
+                self._send(400, {
+                    "message": f"index '{name}' already exists"
+                })
+                return
+            spark = self.spark_ref
+            docs = spark.createDataFrame([], DOC_SCHEMA)
+            tags = spark.createDataFrame([], TAG_SCHEMA)
+            try:
+                dps = int(b.get("docs_per_shard") or 1024)
+            except (TypeError, ValueError):
+                self._send(400, {"message": "docs_per_shard must be int"})
+                return
+            build_index(docs, tags, idx_dir,
+                        analyzer_lang=b.get("analyzer"),
+                        default_lang=b.get("default_lang") or "",
+                        docs_per_shard=dps)
+            self.engines[name] = SearchEngine(spark, idx_dir)
+            self.mut_locks[name] = threading.Lock()
+        self._send(200, {"acknowledged": True, "index": name,
+                         "shards_acknowledged": True})
+
+    def _drop_index(self, name: str) -> None:
+        """ES ``DELETE /{index}`` (flagged extension): deregister and
+        remove an index CREATED THROUGH THIS SERVER (under index_root).
+        Statically-mounted indexes are refused — the server doesn't own
+        their storage."""
+        eng = self.engines.get(name)
+        if eng is None:
+            self._send(404, {"message": f"index '{name}' is not found"})
+            return
+        owned = (
+            self.index_root is not None
+            and os.path.abspath(eng.index_dir)
+            == os.path.join(os.path.abspath(self.index_root), name)
+        )
+        if not owned:
+            self._send(400, {
+                "message": f"index '{name}' is statically mounted; only "
+                           "indexes created under index_root can be deleted"
+            })
+            return
+        import shutil as _sh
+
+        with self.admin_lock, self.mut_locks[name]:
+            self.engines.pop(name, None)
+            _sh.rmtree(eng.index_dir, ignore_errors=True)
+        self.mut_locks.pop(name, None)
+        self._send(200, {"acknowledged": True})
+
+    def _index_info(self, name: str) -> None:
+        """ES ``GET /{index}``-ish: manifest summary for one index."""
+        eng = self.engines.get(name)
+        if eng is None:
+            self._send(404, {"message": f"index '{name}' is not found"})
+            return
+        m = eng.manifest
+        self._send(200, {name: {
+            "doc_count": int(m.get("doc_count", 0)),
+            "analyzer_lang": m.get("analyzer_lang"),
+            "default_lang": m.get("default_lang") or "",
+            "docs_per_shard": int(m.get("docs_per_shard", 0)),
+            "format_version": m.get("format_version"),
+        }})
 
     def _analyze(self, index, eng, body: dict) -> None:
         """ES ``_analyze`` (flagged extension): run the index's QUERY
@@ -904,17 +1015,29 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(engines: dict, host: str = "127.0.0.1",
-                port: int = 0, fair_pools: bool = True) -> ThreadingHTTPServer:
+                port: int = 0, fair_pools: bool = True,
+                index_root: str | None = None,
+                spark=None) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer serving ``engines``
     ({index_name: SearchEngine}).  ``port=0`` binds an ephemeral port
     (``server.server_address[1]``).  Callers run
     ``server.serve_forever()`` — typically on a daemon thread next to
     the driver — and ``server.shutdown()`` to stop.  ``fair_pools``
     exists for A/B measurement (bench_server_qps.py) — leave it on in
-    services."""
+    services.
+
+    ``index_root`` enables the index-lifecycle routes (PUT/DELETE
+    ``/indexes/{name}``): created indexes live under that dir and only
+    those can be deleted.  ``spark`` is the session creation uses;
+    defaults to the first engine's session when engines are given."""
+    if spark is None and engines:
+        spark = next(iter(engines.values())).spark
     handler = type("WatertowerHandler", (_Handler,), {
         "engines": dict(engines),
         "mut_locks": {name: threading.Lock() for name in engines},
         "fair_pools": fair_pools,
+        "index_root": index_root,
+        "spark_ref": spark,
+        "admin_lock": threading.Lock(),
     })
     return ThreadingHTTPServer((host, port), handler)
