@@ -399,6 +399,43 @@ def test_facet_tags_counts_and_order(spark, tagged_index):
     assert eng.facet_tags("zzzmissing").count() == 0
 
 
+def test_facet_field_histogram_cardinality(spark, tagged_index):
+    """Column-valued terms agg, wc histogram and cardinality agg over
+    the full parity match set (ES aggregation siblings of facet_tags)."""
+    import collections
+
+    eng = SearchEngine(spark, tagged_index)
+    # terms over a doc_store column: every match is lang=en
+    got = [(r["key"], r["doc_count"])
+           for r in eng.facet_field("shared", field="lang").collect()]
+    assert got == [("en", 8)]
+    got_red = [(r["key"], r["doc_count"])
+               for r in eng.facet_field("red", field="lang").collect()]
+    assert got_red == [("en", 4)]
+    # histogram buckets are floor(wc/interval)*interval, key ASC, and
+    # partition the match set exactly (cross-checked against doc_stats)
+    wcs = {int(r["doc_id"]): int(r["wc"]) for r in eng.doc_stats.collect()}
+    match = [int(r["doc_id"])
+             for r in eng.search("shared", mode="parity",
+                                 materialize=False).collect()]
+    exp = sorted(collections.Counter((wcs[d] // 4) * 4 for d in match).items())
+    got_h = [(int(r["key"]), int(r["doc_count"]))
+             for r in eng.histogram_wc("shared", interval=4).collect()]
+    assert got_h == exp and sum(c for _, c in got_h) == len(match)
+    # cardinality: exact distinct count over tags sidecar or a column
+    assert eng.facet_cardinality("shared", field="tags") == 3  # all,p0,p1
+    assert eng.facet_cardinality("red", field="tags") == 2     # all,p0
+    assert eng.facet_cardinality("shared", field="lang") == 1
+    assert eng.facet_cardinality("zzzmissing", field="lang") == 0
+    # loud contract violations
+    with pytest.raises(ValueError):
+        eng.facet_field("shared", field="nope")
+    with pytest.raises(ValueError):
+        eng.histogram_wc("shared", interval=0)
+    with pytest.raises(ValueError):
+        eng.facet_cardinality("shared", field="nope")
+
+
 def test_facet_tags_without_tag_sidecar(spark, tmp_index_root):
     """An index built with no tags answers facets with an empty frame."""
     docs = spark.createDataFrame(

@@ -299,10 +299,44 @@ def test_terms_aggs_over_tags(served):
     exp = [(r["tag"], r["doc_count"])
            for r in eng.facet_tags("request", size=5).collect()]
     assert buckets and [(b["key"], b["doc_count"]) for b in buckets] == exp
-    # only terms-over-tags is supported; anything else is a loud 400
-    bad = dict(dsl, aggs={"x": {"terms": {"field": "lang"}}})
+    # an unsupported aggregation type is a loud 400 naming the supported set
+    bad = dict(dsl, aggs={"x": {"avg": {"field": "wc"}}})
     code, body = _post(f"{base}/indexes/default/_search", bad)
-    assert code == 400 and "tags" in body["message"]
+    assert code == 400 and "terms" in body["message"]
+
+
+def test_field_histogram_cardinality_aggs(served):
+    """ES terms-over-column, histogram-over-wc and cardinality aggs all
+    attach to one response and pin equal to the engine operators."""
+    base, eng = served
+    dsl = {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 3}},
+            "by_len": {"histogram": {"field": "wc", "interval": 16}},
+            "n_tags": {"cardinality": {"field": "tags"}},
+        },
+    }
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    aggs = body["aggregations"]
+    exp_lang = [(r["key"], r["doc_count"])
+                for r in eng.facet_field("request", field="lang", size=3).collect()]
+    assert [(b["key"], b["doc_count"]) for b in aggs["by_lang"]["buckets"]] == exp_lang
+    exp_hist = [(int(r["key"]), r["doc_count"])
+                for r in eng.histogram_wc("request", interval=16).collect()]
+    assert [(b["key"], b["doc_count"]) for b in aggs["by_len"]["buckets"]] == exp_hist
+    assert exp_hist and sum(c for _, c in exp_hist) == eng.count("request")
+    assert aggs["n_tags"]["value"] == eng.facet_cardinality("request", field="tags")
+    # histogram is wc-only; unknown terms field is a loud 400 too
+    code, body = _post(f"{base}/indexes/default/_search",
+                       dict(dsl, aggs={"h": {"histogram": {"field": "lang",
+                                                           "interval": 4}}}))
+    assert code == 400 and "wc" in body["message"]
+    code, body = _post(f"{base}/indexes/default/_search",
+                       dict(dsl, aggs={"t": {"terms": {"field": "nope"}}}))
+    assert code == 400
 
 
 def test_count_and_stats_routes(served):

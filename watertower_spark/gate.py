@@ -1675,6 +1675,41 @@ ORDER BY doc_count DESC, tag ASC LIMIT 10
 """
 
 
+def q_facet_lang(spark, sf_dir):
+    """ES terms aggregation over a document COLUMN (lang) for the full
+    parity match set of 'table' — the column-valued facet sibling
+    (SearchEngine.facet_field) vs the relational count."""
+    eng = _engine(spark, sf_dir)
+    return eng.facet_field("table", field="lang", size=10)
+
+
+ORACLE_FACET_LANG = TOK_CTE + """
+, hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT lang AS key, count(*) AS doc_count
+FROM documents JOIN hits USING (doc_id)
+GROUP BY lang
+ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+def q_wc_histogram(spark, sf_dir):
+    """ES histogram aggregation over indexed document length (wc — the
+    same quantity BM25's dl uses) for the parity match set of 'table',
+    interval 8, vs the SQL floor-bucket count.  A pass certifies the
+    match set, the doc_stats wc values AND the bucketing in one gate."""
+    eng = _engine(spark, sf_dir)
+    return eng.histogram_wc("table", interval=8)
+
+
+ORACLE_WC_HISTOGRAM = TOK_CTE + """
+, hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+wc AS (SELECT doc_id, count(*) AS wc FROM tok GROUP BY doc_id)
+SELECT CAST(floor(wc.wc / 8) * 8 AS BIGINT) AS key, count(*) AS doc_count
+FROM wc JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY key ASC
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs among vec_id < 150, verified by
     exact cosine.  LSH affects recall, so membership can't be oracled
@@ -1949,6 +1984,8 @@ QUERIES: dict = {
     "engine_count": (q_engine_count, ORACLE_ENGINE_COUNT),
     "engine_highlight": (q_engine_highlight, ORACLE_ENGINE_HIGHLIGHT),
     "facet_tags": (q_facet_tags, ORACLE_FACET_TAGS),
+    "facet_lang": (q_facet_lang, ORACLE_FACET_LANG),
+    "wc_histogram": (q_wc_histogram, ORACLE_WC_HISTOGRAM),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_EMBEDDING_KNN),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_EMBEDDING_KNN),

@@ -135,21 +135,51 @@ def search_response(engine, search_word: str, tags: list | None = None,
     if aggs:
         resp["aggregations"] = {}
         for name, spec in aggs.items():
-            terms = (spec or {}).get("terms") or {}
-            if terms.get("field") != "tags":
+            spec = spec or {}
+            terms = spec.get("terms") or {}
+            hist = spec.get("histogram") or {}
+            card = spec.get("cardinality") or {}
+            if terms:
+                field = terms.get("field")
+                size = int(terms.get("size") or 10)
+                if field == "tags":
+                    rows = engine.facet_tags(search_word, tags, lang=lang,
+                                             size=size).collect()
+                    buckets = [{"key": r["tag"],
+                                "doc_count": int(r["doc_count"])}
+                               for r in rows]
+                else:
+                    rows = engine.facet_field(search_word, tags, lang=lang,
+                                              field=field, size=size).collect()
+                    buckets = [{"key": r["key"],
+                                "doc_count": int(r["doc_count"])}
+                               for r in rows]
+                resp["aggregations"][name] = {
+                    "doc_count_error_upper_bound": 0,
+                    "sum_other_doc_count": 0,
+                    "buckets": buckets,
+                }
+            elif hist:
+                if hist.get("field") != "wc":
+                    raise ValueError(
+                        f"aggs '{name}': histogram supports the indexed "
+                        f"word-count field 'wc' only"
+                    )
+                interval = int(hist.get("interval") or 0)
+                rows = engine.histogram_wc(search_word, tags, lang=lang,
+                                           interval=interval).collect()
+                resp["aggregations"][name] = {
+                    "buckets": [{"key": int(r["key"]),
+                                 "doc_count": int(r["doc_count"])}
+                                for r in rows],
+                }
+            elif card:
+                n = engine.facet_cardinality(search_word, tags, lang=lang,
+                                             field=card.get("field") or "")
+                resp["aggregations"][name] = {"value": int(n)}
+            else:
                 raise ValueError(
-                    f"aggs '{name}': only terms aggregations over the "
-                    f"'tags' field are supported"
+                    f"aggs '{name}': supported aggregations are terms, "
+                    f"histogram (field 'wc') and cardinality"
                 )
-            size = int(terms.get("size") or 10)
-            buckets = [
-                {"key": r["tag"], "doc_count": int(r["doc_count"])}
-                for r in engine.facet_tags(search_word, tags, lang=lang,
-                                           size=size).collect()
-            ]
-            resp["aggregations"][name] = {
-                "doc_count_error_upper_bound": 0,
-                "sum_other_doc_count": 0,
-                "buckets": buckets,
-            }
     return resp

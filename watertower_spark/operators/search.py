@@ -1172,6 +1172,91 @@ class SearchEngine:
             return spark.createDataFrame([], "tag string, doc_count long")
         res = self.search(search_word, tags, lang, mode="parity",
                           materialize=False)
+        tag_rows = self._tag_rows()
+        return (
+            tag_rows.join(res.select("doc_id", "shard"), ["doc_id", "shard"])
+            .groupBy("tag").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("tag").asc())
+            .limit(size)
+        )
+
+    def facet_field(self, search_word: str, tags: list | None = None,
+                    lang: str = "", field: str = "lang",
+                    size: int = 10) -> DataFrame:
+        """ES ``terms`` aggregation over a doc_store COLUMN (``lang``,
+        or any scalar passthrough column) for the full parity match set
+        — the column-valued sibling of ``facet_tags`` (flagged
+        extension; the reference has no aggregations).  Returns (key,
+        doc_count) ordered doc_count DESC, key ASC, limited to ``size``.
+
+        Plan: unbounded match set (facets count every match) co-key-
+        joined to a two-column doc_store projection, then one map-side-
+        combinable count per key; only the size-bounded result reaches
+        the driver."""
+        if field not in self.doc_store.columns:
+            raise ValueError(f"no such document field: {field!r}")
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False)
+        return (
+            self.doc_store.select("doc_id", "shard", F.col(field).alias("key"))
+            .join(res.select("doc_id", "shard"), ["doc_id", "shard"])
+            .groupBy("key").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size)
+        )
+
+    def histogram_wc(self, search_word: str, tags: list | None = None,
+                     lang: str = "", interval: int = 10) -> DataFrame:
+        """ES ``histogram`` aggregation over document length (the
+        indexed word count, doc_stats.wc — the same quantity BM25's dl
+        uses) for the full parity match set (flagged extension).
+        Buckets are ``floor(wc / interval) * interval`` with doc
+        counts, ordered key ASC — ES's histogram contract.  Plan: match
+        set co-key-joined to the (doc_id, wc) projection of doc_stats,
+        one partial-agg count per bucket; result size is bounded by the
+        wc range / interval, never by the corpus."""
+        if interval <= 0:
+            raise ValueError("histogram interval must be positive")
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False)
+        return (
+            self.doc_stats.select("doc_id", "shard", "wc")
+            .join(res.select("doc_id", "shard"), ["doc_id", "shard"])
+            .withColumn("key", (F.floor(F.col("wc") / interval)
+                                * interval).cast("long"))
+            .groupBy("key").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("key").asc())
+        )
+
+    def facet_cardinality(self, search_word: str, tags: list | None = None,
+                          lang: str = "", field: str = "lang") -> int:
+        """ES ``cardinality`` aggregation (EXACT here, not HLL — at this
+        engine's result shapes the distinct key set is small; flagged
+        extension): number of distinct values of ``field`` (``tags``
+        for the tag sidecar, else a doc_store column) across the parity
+        match set.  One countDistinct over the co-keyed join; a single
+        scalar reaches the driver."""
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False)
+        if field == "tags":
+            if self.tags is None:
+                return 0
+            tag_rows = self._tag_rows()
+            joined = tag_rows.join(res.select("doc_id", "shard"),
+                                   ["doc_id", "shard"])
+            row = joined.agg(F.countDistinct("tag").alias("n")).collect()[0]
+            return int(row["n"])
+        if field not in self.doc_store.columns:
+            raise ValueError(f"no such document field: {field!r}")
+        joined = self.doc_store.select("doc_id", "shard", field).join(
+            res.select("doc_id", "shard"), ["doc_id", "shard"])
+        row = joined.agg(F.countDistinct(field).alias("n")).collect()[0]
+        return int(row["n"])
+
+    def _tag_rows(self) -> DataFrame:
+        """Decode the tag sidecar into (doc_id, shard, tag) rows —
+        narrow per-shard Arrow batches, shared by facet_tags and the
+        tag cardinality path."""
 
         def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
             from watertower_spark.functions import codec
@@ -1188,14 +1273,8 @@ class SearchEngine:
                                  "shard": pd.Series(out_sh, dtype="int32"),
                                  "tag": pd.Series(out_tag, dtype="object")})
 
-        tag_rows = self.tags.groupBy("shard").applyInPandas(
+        return self.tags.groupBy("shard").applyInPandas(
             unpack, "doc_id long, shard int, tag string"
-        )
-        return (
-            tag_rows.join(res.select("doc_id", "shard"), ["doc_id", "shard"])
-            .groupBy("tag").agg(F.count("*").alias("doc_count"))
-            .orderBy(F.col("doc_count").desc(), F.col("tag").asc())
-            .limit(size)
         )
 
     def highlight(self, search_word: str, tags: list | None = None,
