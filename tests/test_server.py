@@ -339,6 +339,108 @@ def test_field_histogram_cardinality_aggs(served):
     assert code == 400
 
 
+def test_range_filter_engine_and_http(served):
+    """ES range filter: engine-side kernel composition (parity/bm25/or/
+    count/delete-guard) and the HTTP filter.range clause, pinned against
+    the doc_store timestamps (searchdata warc_ts = 2020-01-01 + i sec)."""
+    import datetime as dt
+
+    base, eng = served
+    ds = {r["doc_id"]: r["warc_ts"]
+          for r in eng.doc_store.select("doc_id", "warc_ts").collect()}
+    cut = dt.datetime(2020, 1, 1, 0, 0, 3)
+    all_hits = sorted(r["doc_id"] for r in
+                      eng.search("request", mode="parity",
+                                 materialize=False).collect())
+    exp = sorted(d for d in all_hits if ds[d] < cut)
+    assert exp and exp != all_hits  # the range genuinely narrows
+    rng = {"warc_ts": {"lt": "2020-01-01 00:00:03"}}
+    got = sorted(r["doc_id"] for r in
+                 eng.search("request", mode="parity", materialize=False,
+                            ranges=rng).collect())
+    assert got == exp
+    assert sorted(r["doc_id"] for r in
+                  eng.search("request", mode="bm25", k=10,
+                             ranges=rng).collect()) == exp
+    assert eng.count("request", ranges=rng) == len(exp)
+    # range-only query (match-all within the window)
+    ro = sorted(r["doc_id"] for r in
+                eng.search("", mode="parity", materialize=False,
+                           ranges={"warc_ts": {
+                               "gte": "2020-01-01 00:00:02",
+                               "lte": "2020-01-01 00:00:04"}}).collect())
+    assert ro == sorted(d for d in ds
+                        if dt.datetime(2020, 1, 1, 0, 0, 2) <= ds[d]
+                        <= dt.datetime(2020, 1, 1, 0, 0, 4))
+    # loud contracts
+    with pytest.raises(ValueError):
+        eng.search("request", ranges={"nope": {"lt": 1}})
+    with pytest.raises(ValueError):
+        eng.search("request", ranges={"warc_ts": {"between": 1}})
+    # HTTP: filter as a [terms, range] list narrows like the engine
+    dsl = {"query": {"bool": {
+        "must": {"match_phrase": {"content": {"query": "request"}}},
+        "filter": [{"range": {"warc_ts": {"lt": "2020-01-01 00:00:03"}}}],
+    }}}
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    assert sorted(h["_id"] for h in body["hits"]["hits"]) == \
+        sorted(f"d{d:x}" for d in exp)
+    # _count takes the same clause
+    code, body = _post(f"{base}/indexes/default/_count", dsl)
+    assert code == 200 and body["count"] == len(exp)
+    # unknown field / bad clause → 400
+    bad = {"query": {"bool": {
+        "must": {"match_phrase": {"content": {"query": "request"}}},
+        "filter": {"range": {"nope": {"lt": 1}}}}}}
+    code, body = _post(f"{base}/indexes/default/_search", bad)
+    assert code == 400 and "nope" in body["message"]
+    code, body = _post(f"{base}/indexes/default/_search", {
+        "query": {"bool": {"filter": {"exists": {"field": "x"}}}}})
+    assert code == 400 and "terms.tags and range" in body["message"]
+
+
+def test_sort_by_field_engine_and_http(served):
+    """ES sort-by-field: scoring skipped (_score null, per-hit sort
+    values), deterministic (field, doc_id) order, composes with range."""
+    base, eng = served
+    rows = eng.search_sorted("request", field="warc_ts",
+                             ascending=False, k=3).collect()
+    ts = [r["warc_ts"] for r in rows]
+    assert ts == sorted(ts, reverse=True) and len(rows) == 3
+    with pytest.raises(ValueError):
+        eng.search_sorted("request", field="nope")
+    dsl = {
+        "query": {"bool": {"must": {"match_phrase": {"content": {
+            "query": "request"}}}}},
+        "sort": [{"warc_ts": "desc"}], "size": 3,
+    }
+    code, body = _post(f"{base}/indexes/default/_search", dsl)
+    assert code == 200
+    hits = body["hits"]["hits"]
+    assert [h["_id"] for h in hits] == [f"d{int(r['doc_id']):x}" for r in rows]
+    assert all(h["_score"] is None for h in hits)
+    assert [h["sort"][0] for h in hits] == sorted(
+        (h["sort"][0] for h in hits), reverse=True)
+    assert body["hits"]["max_score"] is None
+    # sort + range compose; sort + should does not
+    code, body = _post(f"{base}/indexes/default/_search", {
+        **dsl, "query": {"bool": {
+            "must": {"match_phrase": {"content": {"query": "request"}}},
+            "filter": {"range": {"warc_ts": {"lt": "2020-01-01 00:00:03"}}},
+        }}})
+    assert code == 200 and all(
+        h["sort"][0] < "2020-01-01T00:00:03" for h in body["hits"]["hits"])
+    code, body = _post(f"{base}/indexes/default/_search", {
+        "query": {"bool": {"should": {"match_phrase": {"content": {
+            "query": "request"}}}}},
+        "sort": [{"warc_ts": "desc"}]})
+    assert code == 400 and "sort" in body["message"]
+    code, body = _post(f"{base}/indexes/default/_search", {
+        **dsl, "sort": [{"a": "asc"}, {"b": "asc"}]})
+    assert code == 400 and "one field" in body["message"]
+
+
 def test_count_and_stats_routes(served):
     base, eng = served
     dsl = {"query": {"bool": {"must": {"match_phrase": {"content": {

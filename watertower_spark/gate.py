@@ -1464,6 +1464,63 @@ SELECT doc_id, text, lang FROM documents WHERE doc_id IN (3, 57, 211, 499)
 """
 
 
+def q_engine_range(spark, sf_dir):
+    """ES ``range`` filter through the FULL conjunctive kernel (flagged
+    extension): parity TF-IDF for 'table' restricted to warc_ts in
+    [epoch+100s, epoch+300s).  The corpus's warc_ts is epoch + driver
+    doc_id seconds (sources/corpus.adapt_driver_documents), so the
+    oracle states the same restriction as a doc_id interval.  A pass
+    certifies the predicate-pushed doc_store scan, the synthetic tag-row
+    encoding AND the kernel's conjunctive intersection in one gate."""
+    import datetime as _dt
+
+    eng = _engine(spark, sf_dir)
+    utc = _dt.timezone.utc
+    res = eng.search("table", None, mode="parity", ranges={
+        "warc_ts": {"gte": _dt.datetime(2020, 1, 1, 0, 1, 40, tzinfo=utc),
+                    "lt": _dt.datetime(2020, 1, 1, 0, 5, 0, tzinfo=utc)},
+    })
+    return res.select(_url_to_doc_id(F.col("url")),
+                      F.round("score", 6).alias("score"))
+
+
+ORACLE_ENGINE_RANGE = TOK_CTE + """
+, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'table'
+  GROUP BY doc_id
+), df AS (SELECT count(*) AS df FROM tf),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, round((1.0 + ln(tf)) * ln(n.n * 1.0 / df.df), 6) AS score
+FROM tf, df, n
+WHERE doc_id >= 100 AND doc_id < 300
+"""
+
+
+def q_engine_sorted(spark, sf_dir):
+    """ES sort-by-field composed with a range filter (both flagged
+    extensions): the 15 most recent 'table' matches with warc_ts <
+    epoch+400s, ordered warc_ts DESC.  warc_ts increases with doc_id,
+    so the oracle is the same page as a doc_id window — certifying the
+    match set, the range restriction and the top-k page in one gate."""
+    import datetime as _dt
+
+    eng = _engine(spark, sf_dir)
+    utc = _dt.timezone.utc
+    res = eng.search_sorted(
+        "table", field="warc_ts", ascending=False, k=15,
+        ranges={"warc_ts": {"lt": _dt.datetime(2020, 1, 1, 0, 6, 40,
+                                               tzinfo=utc)}})
+    return res.select(_url_to_doc_id(F.col("url")), "lang")
+
+
+ORACLE_ENGINE_SORTED = TOK_CTE + """
+, hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT doc_id, lang FROM documents JOIN hits USING (doc_id)
+WHERE doc_id < 400
+ORDER BY doc_id DESC LIMIT 15
+"""
+
+
 def q_engine_prefix(spark, sf_dir):
     """Prefix (wildcard ``s*``) BM25 top-10 vs a full SQL reconstruction:
     the oracle expands the term dictionary on LIKE 's%' with the SAME cap
@@ -1977,6 +2034,8 @@ QUERIES: dict = {
     "engine_phrase": (q_engine_phrase, ORACLE_ENGINE_PHRASE),
     "engine_find_by_key": (q_engine_find_by_key, ORACLE_ENGINE_FIND_BY_KEY),
     "engine_mget": (q_engine_mget, ORACLE_ENGINE_MGET),
+    "engine_range": (q_engine_range, ORACLE_ENGINE_RANGE),
+    "engine_sorted": (q_engine_sorted, ORACLE_ENGINE_SORTED),
     "engine_prefix": (q_engine_prefix, ORACLE_ENGINE_PREFIX),
     "engine_fuzzy": (q_engine_fuzzy, ORACLE_ENGINE_FUZZY),
     "engine_paging": (q_engine_paging, ORACLE_ENGINE_PAGING),

@@ -51,7 +51,9 @@ def _hit(row, index_name: str) -> dict:
 
 
 def _wrap_hits(hits: list, took_ms: int) -> dict:
-    max_score = max((h["_score"] for h in hits), default=0.0)
+    scores = [h["_score"] for h in hits if h["_score"] is not None]
+    # ES reports max_score: null when sorting replaced scoring
+    max_score = max(scores, default=0.0) if len(scores) == len(hits) else None
     return {
         "took": took_ms,
         "timed_out": False,
@@ -94,18 +96,29 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     highlight: dict | None = None,
                     exclude_words: str = "",
                     exclude_tags: list | None = None,
-                    search_after: tuple | None = None) -> dict:
+                    search_after: tuple | None = None,
+                    ranges: dict | None = None,
+                    sort: tuple | None = None) -> dict:
     """Run a search and shape the ES-compatible response dict.
 
     `_id` mirrors the reference's docID encoding: `d` + lowercase hex
-    (entity.go:26-33).  Extensions beyond the reference's surface (both
+    (entity.go:26-33).  Extensions beyond the reference's surface (all
     flagged; the reference DSL is match_phrase + terms filter only):
     ``prefix`` routes to ``SearchEngine.search_prefix`` (wildcard
-    ``term*`` BM25 top-k); ``aggs`` runs ES ``terms`` aggregations over
-    the ``tags`` field via ``SearchEngine.facet_tags`` and attaches an
-    ``aggregations`` section with the standard buckets shape."""
+    ``term*`` BM25 top-k); ``aggs`` runs ES aggregations
+    (terms/histogram/cardinality) and attaches an ``aggregations``
+    section; ``ranges`` applies the ES ``range`` filter; ``sort`` is
+    ``(field, ascending)`` — ES sort-by-field, scoring skipped
+    (``_score: null``, per-hit ``sort`` values, ES's shape)."""
     t0 = time.time()
-    if prefix is not None:
+    if sort is not None:
+        field, ascending = sort
+        rows = engine.search_sorted(search_word, tags, lang=lang,
+                                    field=field, ascending=ascending,
+                                    k=k or 10, exclude_words=exclude_words,
+                                    exclude_tags=exclude_tags,
+                                    ranges=ranges).collect()
+    elif prefix is not None:
         rows = engine.search_prefix(prefix, tags, k=k or 10,
                                     max_expansions=max_expansions,
                                     offset=offset).collect()
@@ -119,18 +132,33 @@ def search_response(engine, search_word: str, tags: list | None = None,
                              operator=operator, offset=offset,
                              exclude_words=exclude_words,
                              exclude_tags=exclude_tags,
-                             search_after=search_after).collect()
+                             search_after=search_after,
+                             ranges=ranges).collect()
     took_ms = int((time.time() - t0) * 1000)
-    hits = [
-        {
-            **_hit(r, index_name),
-            **(
-                {"highlight": {"content": [r["snippet"]]}}
-                if highlight is not None else {}
-            ),
-        }
-        for r in rows
-    ]
+    if sort is not None:
+        field, _ = sort
+        hits = []
+        for r in rows:
+            v = r[field]
+            hits.append({
+                "_id": f"d{int(r['doc_id']):x}",
+                "_index": index_name,
+                "_type": "_doc",
+                "_score": None,  # ES: a field sort replaces scoring
+                "_source": _source_doc(r),
+                "sort": [v.isoformat() if hasattr(v, "isoformat") else v],
+            })
+    else:
+        hits = [
+            {
+                **_hit(r, index_name),
+                **(
+                    {"highlight": {"content": [r["snippet"]]}}
+                    if highlight is not None else {}
+                ),
+            }
+            for r in rows
+        ]
     resp = _wrap_hits(hits, took_ms)
     if aggs:
         resp["aggregations"] = {}
@@ -144,13 +172,15 @@ def search_response(engine, search_word: str, tags: list | None = None,
                 size = int(terms.get("size") or 10)
                 if field == "tags":
                     rows = engine.facet_tags(search_word, tags, lang=lang,
-                                             size=size).collect()
+                                             size=size,
+                                             ranges=ranges).collect()
                     buckets = [{"key": r["tag"],
                                 "doc_count": int(r["doc_count"])}
                                for r in rows]
                 else:
                     rows = engine.facet_field(search_word, tags, lang=lang,
-                                              field=field, size=size).collect()
+                                              field=field, size=size,
+                                              ranges=ranges).collect()
                     buckets = [{"key": r["key"],
                                 "doc_count": int(r["doc_count"])}
                                for r in rows]
@@ -167,7 +197,8 @@ def search_response(engine, search_word: str, tags: list | None = None,
                     )
                 interval = int(hist.get("interval") or 0)
                 rows = engine.histogram_wc(search_word, tags, lang=lang,
-                                           interval=interval).collect()
+                                           interval=interval,
+                                           ranges=ranges).collect()
                 resp["aggregations"][name] = {
                     "buckets": [{"key": int(r["key"]),
                                  "doc_count": int(r["doc_count"])}
@@ -175,7 +206,8 @@ def search_response(engine, search_word: str, tags: list | None = None,
                 }
             elif card:
                 n = engine.facet_cardinality(search_word, tags, lang=lang,
-                                             field=card.get("field") or "")
+                                             field=card.get("field") or "",
+                                             ranges=ranges)
                 resp["aggregations"][name] = {"value": int(n)}
             else:
                 raise ValueError(

@@ -633,6 +633,7 @@ class SearchEngine:
         exclude_words: str = "",
         exclude_tags: list | None = None,
         search_after: tuple | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
         """Reference Search() semantics (mode='parity') or BM25 top-k
         (mode='bm25').  ``operator='or'`` (bm25 only, no tags/phrase)
@@ -670,6 +671,18 @@ class SearchEngine:
         cursor values are exactly the previous page's last (score,
         internal doc_id); bm25 mode with k only, mutually exclusive
         with ``offset``.
+
+        ``ranges`` is the ES ``range`` filter clause (flagged
+        extension): ``{field: {gte|gt|lte|lt: value}}`` over doc_store
+        columns (``warc_ts``, ``url``, ``lang``, passthrough extras).
+        Non-scoring ES filter semantics: a doc outside EVERY range
+        leaves the match set before phrase filtering, scoring and
+        top-k.  Physically the in-range doc set rides the SAME grouped
+        exchange as a synthetic per-shard tag row (the kernel's
+        conjunctive tag intersection applies unchanged), so the filter
+        costs one predicate-pushed doc_store column scan restricted to
+        candidate shards — never a second cogroup or a driver
+        round-trip.
         """
         if search_after is not None:
             if mode != "bm25" or k is None:
@@ -680,6 +693,8 @@ class SearchEngine:
             search_after = (float(search_after[0]), int(search_after[1]))
         if search_word and search_word.startswith("unique_key:"):
             return self.find_by_key(search_word[len("unique_key:"):])
+        if ranges:
+            self._compile_ranges(ranges)  # validate loudly up front
         if operator == "or":
             if mode != "bm25":
                 raise ValueError("operator='or' supports mode='bm25' only")
@@ -687,7 +702,8 @@ class SearchEngine:
                                    k or 10, materialize, offset=offset,
                                    exclude_words=exclude_words,
                                    exclude_tags=exclude_tags,
-                                   search_after=search_after)
+                                   search_after=search_after,
+                                   ranges=ranges)
         from watertower_spark.analyzers import analyze_query
 
         spark = self.spark
@@ -703,7 +719,7 @@ class SearchEngine:
         ) if exclude_words else {}
 
         empty = spark.createDataFrame([], RESULT_SCHEMA)
-        if not query_tokens and not tags:
+        if not query_tokens and not tags and not ranges:
             return self._materialize(empty, mode, bounded=True) if materialize else empty
         if set(excl_tokens) & set(query_tokens) or (set(exclude_tags) & set(tags)):
             # a required term/tag is also excluded ⇒ nothing can match
@@ -757,6 +773,26 @@ class SearchEngine:
             parts.append(
                 tag_sel.select(
                     F.lit("tag").alias("kind"), F.col("tag").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "pos_blob", "block_off",
+                                  "block_last", "block_tf_off", "block_pos_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
+        if ranges:
+            # the in-range doc set rides the exchange as ONE synthetic
+            # tag row per shard — the kernel's conjunctive tag
+            # intersection (and shard veto for shards with no in-range
+            # docs) applies unchanged
+            rng = self._range_rows(ranges,
+                                   cand_shards if terms else None)
+            parts.append(
+                rng.select(
+                    F.lit("tag").alias("kind"),
+                    F.lit("\x00range").alias("name"),
                     "shard", F.col("n").alias("df"), "doc_blob",
                     *[
                         F.lit(None).cast("binary").alias(c)
@@ -842,7 +878,8 @@ class SearchEngine:
         k_eff = (k + offset) if (k is not None and mode == "bm25") else k
         kernel = _make_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
-            float(self.manifest["avgdl"]), mode, k_eff, n_tags=len(set(tags)),
+            float(self.manifest["avgdl"]), mode, k_eff,
+            n_tags=len(set(tags)) + (1 if ranges else 0),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
             has_excl=has_excl,
             after=search_after if mode == "bm25" else None,
@@ -943,7 +980,8 @@ class SearchEngine:
 
     def delete_by_query(self, search_word: str, tags: list | None = None,
                         lang: str = "", exclude_words: str = "",
-                        exclude_tags: list | None = None) -> int:
+                        exclude_tags: list | None = None,
+                        ranges: dict | None = None) -> int:
         """ES ``_delete_by_query`` (flagged extension; the reference
         deletes one id per DELETE, handlers.go:240-258).  The parity
         match set — unbounded conjunctive AND + phrase filter, optional
@@ -960,7 +998,7 @@ class SearchEngine:
 
         res = self.search(search_word, tags, lang=lang, mode="parity",
                           materialize=False, exclude_words=exclude_words,
-                          exclude_tags=exclude_tags)
+                          exclude_tags=exclude_tags, ranges=ranges)
         doc_map = self.spark.read.parquet(self._doc_map_path)
         urls = doc_map.join(res.select("doc_id"), "doc_id").select("url")
         before = int(self.manifest["doc_count"])
@@ -971,7 +1009,8 @@ class SearchEngine:
                    materialize: bool, offset: int = 0,
                    exclude_words: str = "",
                    exclude_tags: list | None = None,
-                   search_after: tuple | None = None) -> DataFrame:
+                   search_after: tuple | None = None,
+                   ranges: dict | None = None) -> DataFrame:
         """Disjunctive BM25 top-k (operators/wand.py kernel); filter tags
         stay conjunctive (ES bool-filter semantics); ``exclude_words``/
         ``exclude_tags`` apply ES ``bool.must_not`` exclusion at posting-
@@ -1018,7 +1057,8 @@ class SearchEngine:
                             materialize, offset=offset,
                             excl_terms=excl_terms,
                             excl_tags=exclude_tags or None,
-                            search_after=search_after)
+                            search_after=search_after,
+                            ranges=ranges)
 
     def search_prefix(self, prefix: str, tags: list | None = None,
                       k: int = 10, max_expansions: int = 50,
@@ -1138,20 +1178,115 @@ class SearchEngine:
 
     def count(self, search_word: str, tags: list | None = None,
               lang: str = "", exclude_words: str = "",
-              exclude_tags: list | None = None) -> int:
+              exclude_tags: list | None = None,
+              ranges: dict | None = None) -> int:
         """Number of documents matching the conjunctive(+phrase) query —
         the ES ``_count`` API.  Runs the parity kernel WITHOUT
         materialization or ordering (no doc_store join, no sort), so the
         cost is candidate generation alone; the count aggregate is
         map-side-combinable per shard.  ``exclude_words``/``exclude_tags``
-        apply ES ``bool.must_not`` exclusion before counting."""
+        apply ES ``bool.must_not`` exclusion, ``ranges`` the ES range
+        filter, before counting."""
         res = self.search(search_word, tags, lang, mode="parity",
                           materialize=False, exclude_words=exclude_words,
-                          exclude_tags=exclude_tags)
+                          exclude_tags=exclude_tags, ranges=ranges)
         return res.count()
 
+    _RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+    def _compile_ranges(self, ranges: dict):
+        """Validate ES ``range`` clauses against doc_store columns and
+        compile them to ONE conjunctive Column predicate.  Literals are
+        cast to the column's type (ISO strings compare correctly against
+        timestamp columns); unknown fields/operators raise ValueError —
+        the HTTP layer surfaces them as 400s."""
+        pred = None
+        for field, spec in ranges.items():
+            if field not in self.doc_store.columns or field in ("doc_id",
+                                                                "shard"):
+                raise ValueError(f"no such document field: {field!r}")
+            if not isinstance(spec, dict) or not spec:
+                raise ValueError(
+                    f"range {field!r}: expected {{gte|gt|lte|lt: value}}")
+            dtype = self.doc_store.schema[field].dataType
+            col = F.col(field)
+            for op, val in spec.items():
+                if op not in self._RANGE_OPS:
+                    raise ValueError(
+                        f"range {field!r}: unsupported operator {op!r} "
+                        f"(use gte/gt/lte/lt)")
+                lit = F.lit(val).cast(dtype)
+                p = {"gte": col >= lit, "gt": col > lit,
+                     "lte": col <= lit, "lt": col < lit}[op]
+                pred = p if pred is None else (pred & p)
+        return pred
+
+    def _range_rows(self, ranges: dict, cand_shards: set | None) -> DataFrame:
+        """The in-range doc set as synthetic per-shard tag rows
+        (shard, n, doc_blob) in the tag sidecar's exact encoding
+        (codec.encode_sorted), ready to ride the kernels' grouped
+        exchange.  The doc_store scan is predicate-pushed (column
+        min/max row-group pruning applies — warc_ts correlates with
+        doc_id, which shards are ranged by) and partition-pruned to the
+        candidate shards when the query's terms bound them."""
+        pred = self._compile_ranges(ranges)
+        src = self.doc_store
+        if cand_shards is not None:
+            src = src.where(F.col("shard").isin([int(s) for s in cand_shards]))
+        sel = src.where(pred).select("shard", "doc_id")
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            from watertower_spark.functions import codec
+
+            ids = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+            return pd.DataFrame({
+                "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
+                "n": pd.Series([int(ids.size)], dtype="int32"),
+                "doc_blob": pd.Series([codec.encode_sorted(ids)],
+                                      dtype="object"),
+            })
+
+        return sel.groupBy("shard").applyInPandas(
+            pack, "shard int, n int, doc_blob binary")
+
+    def search_sorted(self, search_word: str, tags: list | None = None,
+                      lang: str = "", field: str = "warc_ts",
+                      ascending: bool = True, k: int = 10,
+                      exclude_words: str = "",
+                      exclude_tags: list | None = None,
+                      ranges: dict | None = None) -> DataFrame:
+        """ES sort-by-field (flagged extension; the reference orders by
+        score only): the top ``k`` matching documents by a doc_store
+        COLUMN — ``{"sort": [{"warc_ts": "desc"}]}`` — with scoring
+        skipped, exactly ES's behavior when a sort replaces _score.
+        Ties break by doc_id ASC so pages are deterministic.
+
+        Plan: the UNBOUNDED parity match set (conjunctive + phrase +
+        optional must_not/range) co-key-joins the doc_store projection;
+        the (field, doc_id) top-k compiles to TakeOrderedAndProject —
+        per-partition heaps and a k-bounded driver merge, never a
+        global sort."""
+        if field not in self.doc_store.columns or field in ("doc_id",
+                                                            "shard"):
+            raise ValueError(f"no such document field: {field!r}")
+        res = self.search(search_word, tags, lang, mode="parity",
+                          materialize=False, exclude_words=exclude_words,
+                          exclude_tags=exclude_tags, ranges=ranges)
+        key = F.col(field).asc() if ascending else F.col(field).desc()
+        cols = ["doc_id", "url", "text", "lang", *self._extra_doc_cols()]
+        if field not in cols:
+            cols.insert(2, field)
+        return (
+            self.doc_store.join(res.select("doc_id", "shard"),
+                                ["doc_id", "shard"])
+            .select(*cols)
+            .orderBy(key, F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def facet_tags(self, search_word: str, tags: list | None = None,
-                   lang: str = "", size: int = 10) -> DataFrame:
+                   lang: str = "", size: int = 10,
+                   ranges: dict | None = None) -> DataFrame:
         """ES-style ``terms`` aggregation over the tag sidecar: for every
         tag, how many documents MATCHING the query carry it — the facet
         row a search UI renders next to results.  Returns (tag,
@@ -1171,7 +1306,7 @@ class SearchEngine:
         if self.tags is None:
             return spark.createDataFrame([], "tag string, doc_count long")
         res = self.search(search_word, tags, lang, mode="parity",
-                          materialize=False)
+                          materialize=False, ranges=ranges)
         tag_rows = self._tag_rows()
         return (
             tag_rows.join(res.select("doc_id", "shard"), ["doc_id", "shard"])
@@ -1182,7 +1317,7 @@ class SearchEngine:
 
     def facet_field(self, search_word: str, tags: list | None = None,
                     lang: str = "", field: str = "lang",
-                    size: int = 10) -> DataFrame:
+                    size: int = 10, ranges: dict | None = None) -> DataFrame:
         """ES ``terms`` aggregation over a doc_store COLUMN (``lang``,
         or any scalar passthrough column) for the full parity match set
         — the column-valued sibling of ``facet_tags`` (flagged
@@ -1196,7 +1331,7 @@ class SearchEngine:
         if field not in self.doc_store.columns:
             raise ValueError(f"no such document field: {field!r}")
         res = self.search(search_word, tags, lang, mode="parity",
-                          materialize=False)
+                          materialize=False, ranges=ranges)
         return (
             self.doc_store.select("doc_id", "shard", F.col(field).alias("key"))
             .join(res.select("doc_id", "shard"), ["doc_id", "shard"])
@@ -1206,7 +1341,8 @@ class SearchEngine:
         )
 
     def histogram_wc(self, search_word: str, tags: list | None = None,
-                     lang: str = "", interval: int = 10) -> DataFrame:
+                     lang: str = "", interval: int = 10,
+                     ranges: dict | None = None) -> DataFrame:
         """ES ``histogram`` aggregation over document length (the
         indexed word count, doc_stats.wc — the same quantity BM25's dl
         uses) for the full parity match set (flagged extension).
@@ -1218,7 +1354,7 @@ class SearchEngine:
         if interval <= 0:
             raise ValueError("histogram interval must be positive")
         res = self.search(search_word, tags, lang, mode="parity",
-                          materialize=False)
+                          materialize=False, ranges=ranges)
         return (
             self.doc_stats.select("doc_id", "shard", "wc")
             .join(res.select("doc_id", "shard"), ["doc_id", "shard"])
@@ -1229,7 +1365,8 @@ class SearchEngine:
         )
 
     def facet_cardinality(self, search_word: str, tags: list | None = None,
-                          lang: str = "", field: str = "lang") -> int:
+                          lang: str = "", field: str = "lang",
+                          ranges: dict | None = None) -> int:
         """ES ``cardinality`` aggregation (EXACT here, not HLL — at this
         engine's result shapes the distinct key set is small; flagged
         extension): number of distinct values of ``field`` (``tags``
@@ -1237,7 +1374,7 @@ class SearchEngine:
         match set.  One countDistinct over the co-keyed join; a single
         scalar reaches the driver."""
         res = self.search(search_word, tags, lang, mode="parity",
-                          materialize=False)
+                          materialize=False, ranges=ranges)
         if field == "tags":
             if self.tags is None:
                 return 0
@@ -1372,7 +1509,8 @@ class SearchEngine:
                 tags: list, k: int, materialize: bool,
                 offset: int = 0, excl_terms: list | None = None,
                 excl_tags: list | None = None,
-                search_after: tuple | None = None) -> DataFrame:
+                search_after: tuple | None = None,
+                ranges: dict | None = None) -> DataFrame:
         """Shared disjunctive execution: one grouped exchange (postings ∪
         tags ∪ dense dl arrays) → per-shard maxscore kernel → global
         top-k.  Callers supply resolved per-term global df (term_stats)
@@ -1426,6 +1564,20 @@ class SearchEngine:
                     ],
                 )
             )
+        if ranges:
+            rng = self._range_rows(ranges, cand_shards)
+            groups_df = groups_df.unionByName(
+                rng.select(
+                    F.lit("tag").alias("kind"),
+                    F.lit("\x00range").alias("name"),
+                    "shard", F.col("n").alias("df"), "doc_blob",
+                    *[
+                        F.lit(None).cast("binary").alias(c)
+                        for c in ("tf_blob", "block_off",
+                                  "block_max_tf", "block_min_dl")
+                    ],
+                )
+            )
         len_sel = self.doc_len.where(
             F.col("shard").isin([int(s) for s in cand_shards])
         )
@@ -1443,7 +1595,8 @@ class SearchEngine:
         )
         kernel = make_or_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
-            float(self.manifest["avgdl"]), k + offset, n_tags=len(set(tags)),
+            float(self.manifest["avgdl"]), k + offset,
+            n_tags=len(set(tags)) + (1 if ranges else 0),
             docs_per_shard=int(self.manifest["docs_per_shard"]),
             after=search_after,
         )

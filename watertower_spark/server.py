@@ -88,7 +88,7 @@ def _parse_dsl(body: dict) -> dict:
     """
     out = {"search_word": "", "tags": [], "lang": "", "prefix": None,
            "max_expansions": 50, "should_word": "", "excl_words": "",
-           "excl_tags": []}
+           "excl_tags": [], "ranges": {}, "sort": None}
     q = (body or {}).get("query", {}).get("bool", {})
     must = q.get("must")
     if must:
@@ -126,7 +126,44 @@ def _parse_dsl(body: dict) -> dict:
         out["excl_words"] = " ".join(ew)
     filt = q.get("filter")
     if filt:
-        out["tags"] = list(filt.get("terms", {}).get("tags") or [])
+        # ES accepts one clause or a list; we parse terms.tags and
+        # range.{field} (flagged extension) in either shape
+        for c in filt if isinstance(filt, list) else [filt]:
+            tt = (c or {}).get("terms", {}).get("tags")
+            rng = (c or {}).get("range")
+            if tt:
+                out["tags"].extend(tt)
+            elif rng:
+                if not isinstance(rng, dict):
+                    raise ValueError("filter.range must be "
+                                     "{field: {gte|gt|lte|lt: value}}")
+                for fld, spec in rng.items():
+                    merged = dict(out["ranges"].get(fld) or {})
+                    merged.update(spec if isinstance(spec, dict) else {})
+                    out["ranges"][fld] = merged
+            else:
+                raise ValueError("bool.filter supports terms.tags and "
+                                 "range clauses only")
+    srt = (body or {}).get("sort")
+    if srt is not None:
+        # ES sort: [{field: "asc"|"desc"}] / [{field: {"order": ...}}] /
+        # "field"; only the first (single) sort key is supported
+        if isinstance(srt, list):
+            if len(srt) != 1:
+                raise ValueError("sort supports exactly one field")
+            srt = srt[0]
+        if isinstance(srt, str):
+            out["sort"] = (srt, True)
+        elif isinstance(srt, dict) and len(srt) == 1:
+            fld, spec = next(iter(srt.items()))
+            order = (spec.get("order") if isinstance(spec, dict)
+                     else spec) or "asc"
+            if order not in ("asc", "desc"):
+                raise ValueError("sort order must be 'asc' or 'desc'")
+            out["sort"] = (fld, order == "asc")
+        else:
+            raise ValueError(
+                "sort must be a field name or {field: asc|desc}")
     return out
 
 
@@ -301,6 +338,22 @@ class _Handler(BaseHTTPRequestHandler):
                            "aggs, no highlight)"
             })
             return
+        if dsl["ranges"] and (prefix is not None or hl):
+            self._send(400, {
+                "message": "filter.range does not compose with prefix "
+                           "or highlight"
+            })
+            return
+        if dsl["sort"] is not None and (
+                prefix is not None or hl or dsl["should_word"]
+                or (body or {}).get("search_after") is not None
+                or (body or {}).get("from")):
+            self._send(400, {
+                "message": "sort composes with match_phrase + filter + "
+                           "must_not only (no prefix, highlight, should, "
+                           "search_after or from)"
+            })
+            return
         # ES-style paging: body from/size (query-param fallbacks); size
         # doubles as k, paging applies to scored (bm25/prefix) modes.
         # Deep paging: body search_after = [score, id] (id in the hit's
@@ -340,8 +393,9 @@ class _Handler(BaseHTTPRequestHandler):
                 aggs=aggs, offset=frm, highlight=hl, operator=operator,
                 exclude_words=dsl["excl_words"],
                 exclude_tags=dsl["excl_tags"],
-                search_after=after))
-        except ValueError as exc:  # unsupported aggs spec
+                search_after=after, ranges=dsl["ranges"] or None,
+                sort=dsl["sort"]))
+        except ValueError as exc:  # unsupported aggs/range/sort spec
             self._send(400, {"message": str(exc)[:500]})
 
     def _msearch(self, index, eng, parsed, lines) -> None:
@@ -400,7 +454,20 @@ class _Handler(BaseHTTPRequestHandler):
                 if err:
                     self._send(400, {"message": f"line {2 * i + 1}: {err}"})
                     return
-            if dsl["prefix"] is not None or hl or aggs or frm or after:
+            if (dsl["prefix"] is not None or hl or aggs or frm or after
+                    or dsl["ranges"] or dsl["sort"] is not None):
+                if dsl["ranges"] and (dsl["prefix"] is not None or hl):
+                    self._send(400, {"message": f"line {2 * i + 1}: filter."
+                                     "range does not compose with prefix "
+                                     "or highlight"})
+                    return
+                if dsl["sort"] is not None and (
+                        dsl["prefix"] is not None or hl
+                        or dsl["should_word"] or after or frm):
+                    self._send(400, {"message": f"line {2 * i + 1}: sort "
+                                     "composes with match_phrase + filter "
+                                     "+ must_not only"})
+                    return
                 fallback[i] = (dsl, word, op, m, frm, size, hl, aggs, after)
                 specs.append(None)
                 continue
@@ -436,8 +503,9 @@ class _Handler(BaseHTTPRequestHandler):
                     offset=frm, highlight=hl, operator=op,
                     exclude_words=dsl["excl_words"],
                     exclude_tags=dsl["excl_tags"],
-                    search_after=after)
-            except ValueError as exc:  # unsupported aggs spec
+                    search_after=after, ranges=dsl["ranges"] or None,
+                    sort=dsl["sort"])
+            except ValueError as exc:  # unsupported aggs/range/sort spec
                 self._send(400, {"message": f"line {2 * i + 1}: "
                                             f"{str(exc)[:400]}"})
                 return
@@ -464,7 +532,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {"count": eng.count(
             dsl["search_word"], dsl["tags"], lang=dsl["lang"],
             exclude_words=dsl["excl_words"],
-            exclude_tags=dsl["excl_tags"])})
+            exclude_tags=dsl["excl_tags"],
+            ranges=dsl["ranges"] or None)})
 
     # ----------------------------------------------------------- doc GETs
 
@@ -543,10 +612,14 @@ class _Handler(BaseHTTPRequestHandler):
                            "match_phrase + filter.terms + must_not only"
             })
             return
-        if not dsl["search_word"] and not dsl["tags"]:
+        if dsl["sort"] is not None:
+            self._send(400, {"message": "_delete_by_query does not "
+                                        "support sort"})
+            return
+        if not dsl["search_word"] and not dsl["tags"] and not dsl["ranges"]:
             self._send(400, {
                 "message": "_delete_by_query requires a match_phrase "
-                           "query or a terms filter"
+                           "query, a terms filter or a range filter"
             })
             return
         t0 = _time.time()
@@ -554,7 +627,8 @@ class _Handler(BaseHTTPRequestHandler):
             n = eng.delete_by_query(
                 dsl["search_word"], dsl["tags"], lang=dsl["lang"],
                 exclude_words=dsl["excl_words"],
-                exclude_tags=dsl["excl_tags"])
+                exclude_tags=dsl["excl_tags"],
+                ranges=dsl["ranges"] or None)
             self._refresh(index, eng)
         self._send(200, {
             "took": int((_time.time() - t0) * 1000),
