@@ -98,10 +98,13 @@ def _signatures_from_sets(
 
     def perm(ai: int, bi: int):
         # single-arg lambda on purpose: a two-arg transform lambda would
-        # receive the array INDEX as its second argument
-        return lambda x: F.pmod(
-            F.pmod(F.lit(ai) * x, F.lit(HASH_PRIME)) + F.lit(bi), F.lit(HASH_PRIME)
-        )
+        # receive the array INDEX as its second argument.  One pmod, not
+        # two: (a·x mod P + b) mod P ≡ (a·x + b) mod P, and with
+        # a,b < 2^30 and x < 2^32 the sum stays under 2^63 (no ANSI
+        # overflow) — this expression runs n_hashes × |hset| times per
+        # doc, the hottest codegen loop of the operator (guide §1.2
+        # step 2: per-task work).
+        return lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(HASH_PRIME))
 
     mins = [
         F.array_min(F.transform("hx", perm(a[i], b[i]))).alias(f"h{i}")
@@ -164,8 +167,20 @@ def minhash_lsh_pairs(
     sized = banded.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bsz") <= max_bucket).drop("bsz")
+    # hint("merge"): force the self-join to sort-merge.  Catalyst's size
+    # estimate for this subtree derives from the (tiny) source file, so
+    # it statically picks a broadcast join — which RE-COMPUTES the whole
+    # tokens→shingles→signatures pipeline for the build side instead of
+    # reusing the probe side's exchange (measured r06: the entire
+    # subtree appeared twice in the plan and q_minhash paid ~2× the
+    # shingle cost).  As a sort-merge join both aliases hang off ONE
+    # ReusedExchange on (band, bucket) — the same exchange the bucket-
+    # cap Window already needs — so the token stream is derived exactly
+    # once (guide §2.4: remove shuffles/recomputes outright).  At CC
+    # scale broadcast was never viable for this fat relation anyway.
     joined = (
         sized.alias("x")
+        .hint("merge")
         .join(sized.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
     )
@@ -174,17 +189,22 @@ def minhash_lsh_pairs(
             F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
         ).distinct()  # a pair can collide in several bands
         return _exact_jaccard_sets(cand, hs, threshold)
-    pairs = (
-        joined.select(
-            F.col("x.doc_id").alias("da"),
-            F.col("y.doc_id").alias("db"),
-            F.col("x.hset").alias("ha"),
-            F.col("y.hset").alias("hb"),
-        )
-        .groupBy("da", "db")  # a pair can collide in several bands
-        .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
+    # verify FIRST, dedup SECOND: jaccard is computed map-side straight
+    # off the join output and the per-band duplicate collisions are
+    # deduped on the narrow (da, db, jaccard) rows — the dedup exchange
+    # ships ~20 bytes/row instead of two shingle-hash arrays (guide
+    # §2.3: shuffle keys and metadata, not payloads).  A pair colliding
+    # in several bands re-verifies once per collision (bounded by
+    # ``bands``), the trade for never exchanging hsets again; the
+    # jaccard value is deterministic per pair, so distinct() yields
+    # exactly the old groupBy-then-verify pair set.
+    pairs = joined.select(
+        F.col("x.doc_id").alias("da"),
+        F.col("y.doc_id").alias("db"),
+        F.col("x.hset").alias("ha"),
+        F.col("y.hset").alias("hb"),
     )
-    return _jaccard_from_arrays(pairs, threshold)
+    return _jaccard_from_arrays(pairs, threshold).distinct()
 
 
 def _jaccard_from_arrays(pairs: DataFrame, threshold: float) -> DataFrame:
