@@ -285,15 +285,30 @@ def pack_position_lists(position_lists: list) -> bytes:
 
 
 def unpack_position_lists(buf: bytes, n_postings: int) -> list:
-    """Inverse of pack_position_lists → list of int64 arrays."""
-    # One pass: decode the full varint stream, then split by counts.
-    all_vals = decode_varint(buf)
-    out = []
-    i = 0
-    for _ in range(n_postings):
-        cnt = int(all_vals[i])
-        i += 1
-        deltas = all_vals[i:i + cnt]
-        out.append(np.cumsum(deltas).astype(np.int64))
-        i += cnt
-    return out
+    """Inverse of pack_position_lists → list of int64 arrays.
+
+    One decode_varint pass, then ONE global cumsum over every delta with
+    per-segment rebasing and a view-producing split — the former
+    per-posting ``np.cumsum`` (tiny-array numpy setup × BLOCK_SIZE per
+    block) dominated position-block decode on the phrase hot path.  The
+    only remaining per-posting work is walking the self-delimiting
+    headers (scalar indexing)."""
+    all_vals = decode_varint(buf).astype(np.int64, copy=False)
+    if n_postings == 0:
+        return []
+    hdr = np.empty(n_postings, dtype=np.int64)
+    idx = 0
+    for k in range(n_postings):
+        hdr[k] = idx
+        idx += int(all_vals[idx]) + 1
+    counts = all_vals[hdr]
+    keep = np.ones(all_vals.size, dtype=bool)
+    keep[hdr] = False
+    csum = np.cumsum(all_vals[keep])
+    if csum.size == 0:  # every list empty (degenerate but legal)
+        return [np.empty(0, dtype=np.int64)] * n_postings
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    offs = np.where(starts > 0, csum[starts - 1], 0)
+    vals = csum - np.repeat(offs, counts)
+    return np.split(vals, ends[:-1])

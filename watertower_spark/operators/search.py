@@ -62,6 +62,45 @@ def _phrase_relative_positions(doc_positions: np.ndarray, query_positions: list)
     return (doc_positions[ok] - qp0) % _WRAP
 
 
+# packs (candidate index, relative position) into one int64 key for the
+# batched phrase filter: rel < 2^32 < 2^33, so the key space is exact up
+# to 2^30 candidates per shard (docs_per_shard is far below that)
+_PHRASE_KEY = np.int64(1) << np.int64(33)
+
+
+def _phrase_rel_keys(pos_lists: list, query_positions: list) -> np.ndarray:
+    """Batched ``_phrase_relative_positions`` over EVERY candidate at
+    once: returns int64 keys ``cand_idx * 2^33 + rel`` for each valid
+    relative start offset of the query-word pattern, across all docs.
+
+    The r5 kernel looped per candidate doc (one tiny numpy op chain per
+    doc — measured as the dominant cost of phrase queries at sf1.0:
+    3.3-3.9 s/exec for q_parity_phrase, ~85% kernel).  Here the per-doc
+    position arrays are flattened once; the same-doc membership test is
+    one searchsorted over the (doc, position) key stream per extra query
+    position (guide §4.2: hand whole batches to vectorized numpy, never
+    loop per row).  Identical algebra, including the uint32 wraparound
+    (positions below the first query position wrap and never match)."""
+    n = len(pos_lists)
+    lens = np.fromiter((p.size for p in pos_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    flat = np.concatenate(pos_lists).astype(np.int64, copy=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    qp0 = query_positions[0]
+    rest = query_positions[1:]
+    if not rest:
+        return doc_idx * _PHRASE_KEY + (flat - qp0) % _WRAP
+    base_keys = doc_idx * _PHRASE_KEY + flat  # sorted: doc asc, pos asc
+    ok = np.ones(total, dtype=bool)
+    for qi in rest:
+        want = doc_idx * _PHRASE_KEY + (flat - qp0 + qi) % _WRAP
+        j = np.minimum(np.searchsorted(base_keys, want), total - 1)
+        ok &= base_keys[j] == want
+    return doc_idx[ok] * _PHRASE_KEY + (flat[ok] - qp0) % _WRAP
+
+
 def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                  avgdl: float, mode: str, k: int | None, n_tags: int = 0,
                  docs_per_shard: int = 0, has_excl: bool = False,
@@ -308,37 +347,39 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 if cand.size == 0:
                     continue
                 # phrase filter on the survivors (search.go:97-99 applies
-                # whenever the query has tokens)
-                rel = None
+                # whenever the query has tokens) — batched per unique
+                # block (see _phrase_rel_keys; the per-doc loop was the
+                # dominant phrase cost)
+                keys = None
                 for t in terms_by_df:
                     qp = query_tokens[t]
                     m = meta[t]
                     blocks_t = np.searchsorted(m["bl"], cand)
-                    per_doc = []
-                    for d_, bt in zip(cand, blocks_t):
-                        bt = int(bt)
-                        o = int(np.searchsorted(_ids(t, bt), d_))
-                        per_doc.append(
-                            _phrase_relative_positions(_pos(t, bt)[o], qp)
-                        )
-                    rel = per_doc if rel is None else [
-                        r1[np.isin(r1, r2)] for r1, r2 in zip(rel, per_doc)
-                    ]
-                keep = np.fromiter(
-                    (r.size > 0 for r in rel), dtype=bool, count=cand.size
-                )
-                cand = cand[keep]
-                if cand.size == 0:
+                    pos_lists = [None] * cand.size
+                    for bt in np.unique(blocks_t).tolist():
+                        sel = np.nonzero(blocks_t == bt)[0]
+                        offs_b = np.searchsorted(_ids(t, bt), cand[sel])
+                        lists_b = _pos(t, bt)
+                        for s_, o_ in zip(sel.tolist(), offs_b.tolist()):
+                            pos_lists[s_] = lists_b[o_]
+                    tk = _phrase_rel_keys(pos_lists, qp)
+                    keys = tk if keys is None else keys[np.isin(keys, tk)]
+                    if keys.size == 0:
+                        break
+                if keys is None or keys.size == 0:
                     continue
+                cand = cand[np.unique(keys // _PHRASE_KEY)]
                 dl = dl_of(cand)
                 sc = np.zeros(cand.size, dtype="float64")
                 for t in terms_by_df:
                     m = meta[t]
                     blocks_t = np.searchsorted(m["bl"], cand)
                     tf = np.empty(cand.size, dtype="float64")
-                    for i_, (d_, bt) in enumerate(zip(cand, blocks_t)):
-                        bt = int(bt)
-                        tf[i_] = _tf(t, bt)[int(np.searchsorted(_ids(t, bt), d_))]
+                    for bt in np.unique(blocks_t).tolist():
+                        sel = blocks_t == bt
+                        tf[sel] = _tf(t, bt)[
+                            np.searchsorted(_ids(t, bt), cand[sel])
+                        ]
                     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
                     sc += m["idf"] * (BM25_K1 + 1.0) * tf / denom
                 if after is not None:
@@ -441,38 +482,33 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
             and len(next(iter(query_tokens.values()))) == 1
         )
         if phrase_needed:
-            per_term_rel: list = []
+            # batched phrase algebra: per term, decode only the blocks
+            # holding candidates, gather each candidate's position array
+            # (list indexing only — no per-doc numpy calls), then
+            # intersect the per-term relative-start key streams in one
+            # vectorized pass (_phrase_rel_keys)
+            keys = None
             for term, qp in query_tokens.items():
                 row = term_rows[term]
                 blocks, offs = posting_locs(term, cand)
                 pos_off = np.frombuffer(row.block_pos_off, dtype=np.int64)
                 pos_end = np.concatenate((pos_off[1:], [len(row.pos_blob)])).astype(np.int64)
                 df_t = int(row.df)
-                cache: dict = {}
-                rel_per_doc = []
-                for b, o in zip(blocks, offs):
-                    b = int(b)
-                    lists = cache.get(b)
-                    if lists is None:
-                        n_lists = min(BS, df_t - b * BS)
-                        lists = codec.decode_position_block(
-                            row.pos_blob, int(pos_off[b]), int(pos_end[b]), n_lists
-                        )
-                        cache[b] = lists
-                    rel_per_doc.append(_phrase_relative_positions(lists[int(o)], qp))
-                per_term_rel.append(rel_per_doc)
-            survivors = []
-            for i in range(cand.size):
-                rel = per_term_rel[0][i]
-                for t in range(1, len(per_term_rel)):
-                    if rel.size == 0:
-                        break
-                    rel = rel[np.isin(rel, per_term_rel[t][i])]
-                if rel.size > 0:
-                    survivors.append(i)
-            cand = cand[np.array(survivors, dtype=int)] if survivors else cand[:0]
-            if cand.size == 0:
-                return empty
+                cache = {
+                    int(b): codec.decode_position_block(
+                        row.pos_blob, int(pos_off[int(b)]), int(pos_end[int(b)]),
+                        min(BS, df_t - int(b) * BS),
+                    )
+                    for b in np.unique(blocks)
+                }
+                pos_lists = [
+                    cache[b][o] for b, o in zip(blocks.tolist(), offs.tolist())
+                ]
+                tk = _phrase_rel_keys(pos_lists, qp)
+                keys = tk if keys is None else keys[np.isin(keys, tk)]
+                if keys.size == 0:
+                    return empty
+            cand = cand[np.unique(keys // _PHRASE_KEY)]
 
         # Scoring — tf decoded per needed block only
         scores = np.zeros(cand.size, dtype="float64")
@@ -482,11 +518,15 @@ def _make_kernel(query_tokens: dict, df_global: dict, doc_count: int,
                 row = term_rows[term]
                 blocks, offs = posting_locs(term, cand)
                 tf_off = np.frombuffer(row.block_tf_off, dtype=np.int64)
-                tf_blocks = codec.decode_tf_blocks(row.tf_blob, tf_off, np.unique(blocks))
-                tf = np.fromiter(
-                    (tf_blocks[int(b)][int(o)] for b, o in zip(blocks, offs)),
-                    dtype="float64", count=cand.size,
-                )
+                uniq, inv = np.unique(blocks, return_inverse=True)
+                tf_blocks = codec.decode_tf_blocks(row.tf_blob, tf_off, uniq)
+                # gather per unique block, not per candidate: the old
+                # per-doc genexpr was O(cand) Python iterations for a
+                # head-term query (tens of thousands per shard)
+                tf = np.empty(cand.size, dtype="float64")
+                for i, b in enumerate(uniq.tolist()):
+                    sel = inv == i
+                    tf[sel] = tf_blocks[b][offs[sel]]
                 df = df_global[term]
                 if mode == "bm25":
                     idf = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
@@ -597,6 +637,33 @@ class SearchEngine:
                 f"resume_build to repair",
                 stacklevel=2,
             )
+
+    def _empty_result(self) -> DataFrame:
+        """Memoized empty (doc_id, shard, score) frame — ``search()``
+        built a fresh one on EVERY call (a py4j/schema round trip paid
+        even by queries that return rows); DataFrames are immutable, so
+        one instance serves every query this engine answers."""
+        e = self.__dict__.get("_empty_df")
+        if e is None:
+            e = self._empty_df = self.spark.createDataFrame([], RESULT_SCHEMA)
+        return e
+
+    def _kernel_partitions(self, cand_shards=None) -> int:
+        """Explicit partition count for the grouped kernel exchange.
+
+        AQE's byte-based partition coalescing sees only the few MB of
+        posting/tag blobs a query touches and collapses the kernel's
+        exchange to ONE partition, serializing every shard group
+        through a single Python worker (measured r06: the sf1.0 kernel
+        stage ran as one ~380 ms task instead of 32 parallel ones; the
+        same trap CLAUDE.md pins for the build's Python-CPU stages).  A
+        user-specified repartition N is exempt from coalescing, so the
+        kernel exchange is pinned to the candidate fan-out capped by
+        the LIVE parallelism — scale-adaptive, never a constant."""
+        n_groups = (len(cand_shards) if cand_shards
+                    else int(self.manifest.get("n_shards") or 1))
+        return max(1, min(int(n_groups),
+                          self.spark.sparkContext.defaultParallelism))
 
     def _resolve_terms(self, terms: list) -> dict:
         """term → (df, shard list) from the global term_stats table,
@@ -718,7 +785,7 @@ class SearchEngine:
             exclude_words, analyzer_lang or lang, default_lang
         ) if exclude_words else {}
 
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        empty = self._empty_result()
         if not query_tokens and not tags and not ranges:
             return self._materialize(empty, mode, bounded=True) if materialize else empty
         if set(excl_tokens) & set(query_tokens) or (set(exclude_tags) & set(tags)):
@@ -884,7 +951,9 @@ class SearchEngine:
             has_excl=has_excl,
             after=search_after if mode == "bm25" else None,
         )
-        results = groups_df.groupBy("shard").applyInPandas(
+        results = groups_df.repartition(
+            self._kernel_partitions(cand_shards), "shard"
+        ).groupBy("shard").applyInPandas(
             kernel, schema=RESULT_SCHEMA
         )
 
@@ -1032,7 +1101,7 @@ class SearchEngine:
         # any doc containing it is excluded, so it can never contribute
         query_tokens = {t: p for t, p in query_tokens.items()
                         if t not in excl_tokens}
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        empty = self._empty_result()
         if not query_tokens or (tags and self.tags is None) \
                 or (set(exclude_tags) & set(tags)):
             return self._materialize(empty, "bm25", bounded=True) if materialize else empty
@@ -1087,7 +1156,7 @@ class SearchEngine:
         sized job and no step depends on corpus row count.
         """
         spark = self.spark
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        empty = self._empty_result()
         prefix = (prefix or "").strip().lower().rstrip("*")
         tags = list(tags or [])
         if not prefix or (tags and self.tags is None):
@@ -1142,7 +1211,7 @@ class SearchEngine:
         metadata-sized and the fan-in stays bounded by the cap.
         """
         spark = self.spark
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        empty = self._empty_result()
         word = (word or "").strip().lower()
         tags = list(tags or [])
         if not word or (tags and self.tags is None):
@@ -1246,7 +1315,9 @@ class SearchEngine:
                                       dtype="object"),
             })
 
-        return sel.groupBy("shard").applyInPandas(
+        return sel.repartition(
+            self._kernel_partitions(cand_shards), "shard"
+        ).groupBy("shard").applyInPandas(
             pack, "shard int, n int, doc_blob binary")
 
     def search_sorted(self, search_word: str, tags: list | None = None,
@@ -1410,7 +1481,9 @@ class SearchEngine:
                                  "shard": pd.Series(out_sh, dtype="int32"),
                                  "tag": pd.Series(out_tag, dtype="object")})
 
-        return self.tags.groupBy("shard").applyInPandas(
+        return self.tags.repartition(
+            self._kernel_partitions(), "shard"
+        ).groupBy("shard").applyInPandas(
             unpack, "doc_id long, shard int, tag string"
         )
 
@@ -1600,7 +1673,9 @@ class SearchEngine:
             docs_per_shard=int(self.manifest["docs_per_shard"]),
             after=search_after,
         )
-        results = groups_df.groupBy("shard").applyInPandas(
+        results = groups_df.repartition(
+            self._kernel_partitions(cand_shards), "shard"
+        ).groupBy("shard").applyInPandas(
             kernel, schema=RESULT_SCHEMA
         ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
         if offset:
@@ -1837,7 +1912,9 @@ class SearchEngine:
             g = _family_df(f, blobs)
             if g is None:
                 continue
-            outs.append(g.groupBy("qid", "shard").applyInPandas(
+            outs.append(g.repartition(
+                self._kernel_partitions(), "qid", "shard"
+            ).groupBy("qid", "shard").applyInPandas(
                 _dispatch(f["kernels"]), schema=out_schema))
         if not outs:
             res = spark.createDataFrame([], out_schema)
