@@ -48,6 +48,25 @@ from .index_build import BM25_B, BM25_K1, load_manifest
 
 _WRAP = 1 << 32  # uint32 arithmetic in the reference's phrase algebra
 
+
+def _null_blob_cols4() -> list:
+    """The 4-column null tail of the OR-kernel's non-posting rows."""
+    return [
+        F.lit(None).cast("binary").alias(c)
+        for c in ("tf_blob", "block_off", "block_max_tf", "block_min_dl")
+    ]
+
+
+def _null_blob_cols() -> list:
+    """The 8 null binary sidecar columns non-posting rows carry through
+    the unified kernel exchange (built once per engine via _const_cols)."""
+    return [
+        F.lit(None).cast("binary").alias(c)
+        for c in ("tf_blob", "pos_blob", "block_off", "block_last",
+                  "block_tf_off", "block_pos_off", "block_max_tf",
+                  "block_min_dl")
+    ]
+
 RESULT_SCHEMA = "doc_id long, shard int, score double"
 
 
@@ -638,6 +657,27 @@ class SearchEngine:
                 stacklevel=2,
             )
 
+    @staticmethod
+    def _shard_in(shards) -> "F.Column":
+        """``shard IN (…)`` as ONE SQL expression.  ``Column.isin``
+        issues a py4j round trip per literal — a 65-shard candidate set
+        cost ~100 ms of driver socket chatter per query (profiled r06:
+        ~1,230 py4j commands per search() call, isin the largest
+        single contributor).  Values are ints, so string embedding is
+        injection-safe and yields the identical In(shard, …) predicate."""
+        return F.expr("shard IN (" + ",".join(str(int(s)) for s in shards) + ")")
+
+    def _const_cols(self, key: str, builder) -> list:
+        """Memoized constant Column lists (the kind/name/null-blob
+        projections are identical for every query this engine answers;
+        Columns are immutable, so building them once removes ~30 py4j
+        round trips per part per query)."""
+        cache = self.__dict__.setdefault("_cc", {})
+        cols = cache.get(key)
+        if cols is None:
+            cols = cache[key] = builder()
+        return cols
+
     def _empty_result(self) -> DataFrame:
         """Memoized empty (doc_id, shard, score) frame — ``search()``
         built a fresh one on EVERY call (a py4j/schema round trip paid
@@ -817,18 +857,19 @@ class SearchEngine:
             cand_shards = and_shards
             sel = self.postings.where(
                 F.col("term").isin(terms)
-                & F.col("shard").isin([int(s) for s in and_shards])
+                & self._shard_in(and_shards)
             )
 
         parts = []
         if sel is not None:
             parts.append(
-                sel.select(
+                sel.select(*self._const_cols("p_term", lambda: [
                     F.lit("term").alias("kind"), F.col("term").alias("name"),
-                    "shard", "df", "doc_blob", "tf_blob", "pos_blob",
-                    "block_off", "block_last", "block_tf_off", "block_pos_off",
-                    "block_max_tf", "block_min_dl",
-                )
+                    F.col("shard"), F.col("df"), F.col("doc_blob"),
+                    F.col("tf_blob"), F.col("pos_blob"), F.col("block_off"),
+                    F.col("block_last"), F.col("block_tf_off"),
+                    F.col("block_pos_off"), F.col("block_max_tf"),
+                    F.col("block_min_dl")]))
             )
         if tags:
             if self.tags is None:
@@ -838,16 +879,10 @@ class SearchEngine:
             # yields the empty result without an extra driver job
             tag_sel = self.tags.where(F.col("tag").isin(tags))
             parts.append(
-                tag_sel.select(
+                tag_sel.select(*self._const_cols("p_tag", lambda: [
                     F.lit("tag").alias("kind"), F.col("tag").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "pos_blob", "block_off",
-                                  "block_last", "block_tf_off", "block_pos_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("p_nulls", _null_blob_cols)))
             )
         if ranges:
             # the in-range doc set rides the exchange as ONE synthetic
@@ -857,17 +892,11 @@ class SearchEngine:
             rng = self._range_rows(ranges,
                                    cand_shards if terms else None)
             parts.append(
-                rng.select(
+                rng.select(*self._const_cols("p_range", lambda: [
                     F.lit("tag").alias("kind"),
                     F.lit("\x00range").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "pos_blob", "block_off",
-                                  "block_last", "block_tf_off", "block_pos_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("p_nulls", _null_blob_cols)))
             )
         # must_not inputs ride the SAME exchange: excluded-term postings
         # as kind='not' rows (shard-restricted to the AND candidate set —
@@ -889,30 +918,25 @@ class SearchEngine:
                 not_sel = self.postings.where(F.col("term").isin(present))
                 if terms:
                     not_sel = not_sel.where(
-                        F.col("shard").isin([int(s) for s in cand_shards])
+                        self._shard_in(cand_shards)
                     )
                 parts.append(
-                    not_sel.select(
+                    not_sel.select(*self._const_cols("p_not", lambda: [
                         F.lit("not").alias("kind"), F.col("term").alias("name"),
-                        "shard", "df", "doc_blob", "tf_blob", "pos_blob",
-                        "block_off", "block_last", "block_tf_off",
-                        "block_pos_off", "block_max_tf", "block_min_dl",
-                    )
+                        F.col("shard"), F.col("df"), F.col("doc_blob"),
+                        F.col("tf_blob"), F.col("pos_blob"), F.col("block_off"),
+                        F.col("block_last"), F.col("block_tf_off"),
+                        F.col("block_pos_off"), F.col("block_max_tf"),
+                        F.col("block_min_dl")]))
                 )
         if exclude_tags and self.tags is not None:
             has_excl = True
             nottag_sel = self.tags.where(F.col("tag").isin(exclude_tags))
             parts.append(
-                nottag_sel.select(
+                nottag_sel.select(*self._const_cols("p_nottag", lambda: [
                     F.lit("nottag").alias("kind"), F.col("tag").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "pos_blob", "block_off",
-                                  "block_last", "block_tf_off", "block_pos_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("p_nulls", _null_blob_cols)))
             )
         # BM25 needs per-doc lengths: the shard's dense dl array rides the
         # SAME exchange as the postings (kind='len' row, partition-pruned
@@ -920,20 +944,14 @@ class SearchEngine:
         # scan at query time.
         if mode == "bm25" and terms and cand_shards:
             len_sel = self.doc_len.where(
-                F.col("shard").isin([int(s) for s in cand_shards])
+                self._shard_in(cand_shards)
             )
             parts.append(
-                len_sel.select(
+                len_sel.select(*self._const_cols("p_len", lambda: [
                     F.lit("len").alias("kind"), F.lit("").alias("name"),
-                    "shard", F.col("n").alias("df"),
-                    F.col("dl_blob").alias("doc_blob"),
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "pos_blob", "block_off",
-                                  "block_last", "block_tf_off", "block_pos_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"),
+                    F.col("dl_blob").alias("doc_blob")]
+                    + self._const_cols("p_nulls", _null_blob_cols)))
             )
         groups_df = parts[0]
         for p in parts[1:]:
@@ -1301,7 +1319,7 @@ class SearchEngine:
         pred = self._compile_ranges(ranges)
         src = self.doc_store
         if cand_shards is not None:
-            src = src.where(F.col("shard").isin([int(s) for s in cand_shards]))
+            src = src.where(self._shard_in(cand_shards))
         sel = src.where(pred).select("shard", "doc_id")
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1594,77 +1612,56 @@ class SearchEngine:
 
         terms = sorted(query_tokens)
         sel = self.postings.where(F.col("term").isin(terms))
-        groups_df = sel.select(
+        groups_df = sel.select(*self._const_cols("o_term", lambda: [
             F.lit("term").alias("kind"), F.col("term").alias("name"),
-            "shard", "df", "doc_blob", "tf_blob", "block_off",
-            "block_max_tf", "block_min_dl",
-        )
+            F.col("shard"), F.col("df"), F.col("doc_blob"), F.col("tf_blob"),
+            F.col("block_off"), F.col("block_max_tf"), F.col("block_min_dl")]))
         if excl_terms:
             not_sel = self.postings.where(
                 F.col("term").isin(list(excl_terms))
-                & F.col("shard").isin([int(s) for s in cand_shards])
+                & self._shard_in(cand_shards)
             )
             groups_df = groups_df.unionByName(
-                not_sel.select(
+                not_sel.select(*self._const_cols("o_not", lambda: [
                     F.lit("not").alias("kind"), F.col("term").alias("name"),
-                    "shard", "df", "doc_blob", "tf_blob", "block_off",
-                    "block_max_tf", "block_min_dl",
-                )
+                    F.col("shard"), F.col("df"), F.col("doc_blob"),
+                    F.col("tf_blob"), F.col("block_off"),
+                    F.col("block_max_tf"), F.col("block_min_dl")]))
             )
         if excl_tags and self.tags is not None:
             nottag_sel = self.tags.where(F.col("tag").isin(list(excl_tags)))
             groups_df = groups_df.unionByName(
-                nottag_sel.select(
+                nottag_sel.select(*self._const_cols("o_nottag", lambda: [
                     F.lit("nottag").alias("kind"), F.col("tag").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "block_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("o_nulls", _null_blob_cols4)))
             )
         if tags:
             tag_sel = self.tags.where(F.col("tag").isin(tags))
             groups_df = groups_df.unionByName(
-                tag_sel.select(
+                tag_sel.select(*self._const_cols("o_tag", lambda: [
                     F.lit("tag").alias("kind"), F.col("tag").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "block_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("o_nulls", _null_blob_cols4)))
             )
         if ranges:
             rng = self._range_rows(ranges, cand_shards)
             groups_df = groups_df.unionByName(
-                rng.select(
+                rng.select(*self._const_cols("o_range", lambda: [
                     F.lit("tag").alias("kind"),
                     F.lit("\x00range").alias("name"),
-                    "shard", F.col("n").alias("df"), "doc_blob",
-                    *[
-                        F.lit(None).cast("binary").alias(c)
-                        for c in ("tf_blob", "block_off",
-                                  "block_max_tf", "block_min_dl")
-                    ],
-                )
+                    F.col("shard"), F.col("n").alias("df"), F.col("doc_blob")]
+                    + self._const_cols("o_nulls", _null_blob_cols4)))
             )
         len_sel = self.doc_len.where(
-            F.col("shard").isin([int(s) for s in cand_shards])
+            self._shard_in(cand_shards)
         )
         groups_df = groups_df.unionByName(
-            len_sel.select(
+            len_sel.select(*self._const_cols("o_len", lambda: [
                 F.lit("len").alias("kind"), F.lit("").alias("name"),
-                "shard", F.col("n").alias("df"),
-                F.col("dl_blob").alias("doc_blob"),
-                *[
-                    F.lit(None).cast("binary").alias(c)
-                    for c in ("tf_blob", "block_off",
-                              "block_max_tf", "block_min_dl")
-                ],
-            )
+                F.col("shard"), F.col("n").alias("df"),
+                F.col("dl_blob").alias("doc_blob")]
+                + self._const_cols("o_nulls", _null_blob_cols4)))
         )
         kernel = make_or_kernel(
             query_tokens, df_global, int(self.manifest["doc_count"]),
