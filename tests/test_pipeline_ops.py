@@ -350,6 +350,36 @@ def test_connected_components_path_graph_and_empty(spark):
     assert dedup.connected_components(empty).collect() == []
 
 
+def test_connected_components_one_convergence_action_per_round(spark):
+    """r6 optimization pin: the convergence check is ONE driver action
+    (a single symmetric-difference isEmpty) per iteration — the former
+    chained `exceptAll(a).isEmpty() and exceptAll(b).isEmpty()` cost a
+    second shuffling job on the converged round."""
+    # Spark 4: pyspark.sql.DataFrame is the abstract facade; the
+    # method actually dispatched is on the classic concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.isEmpty
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    DataFrame.isEmpty = counting
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "da long, db long"
+        )
+        got = {r["node"]: r["component"]
+               for r in dedup.connected_components(pairs).collect()}
+    finally:
+        DataFrame.isEmpty = orig
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # iterations are bounded by max_iterations=25; one isEmpty each
+    assert 0 < calls["n"] <= 25, calls["n"]
+
+
 def test_similarity_brute_vs_arrow(spark):
     rng = np.random.default_rng(3)
     vecs = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(50)]

@@ -1288,6 +1288,7 @@ class SearchEngine:
         timestamp columns); unknown fields/operators raise ValueError —
         the HTTP layer surfaces them as 400s."""
         pred = None
+        checks: list = []  # (field, op, val, lit) for eager validation
         for field, spec in ranges.items():
             if field not in self.doc_store.columns or field in ("doc_id",
                                                                 "shard"):
@@ -1302,10 +1303,27 @@ class SearchEngine:
                     raise ValueError(
                         f"range {field!r}: unsupported operator {op!r} "
                         f"(use gte/gt/lte/lt)")
+                if val is None:
+                    raise ValueError(f"range {field!r}: {op} value is null")
                 lit = F.lit(val).cast(dtype)
+                checks.append((field, op, val, lit))
                 p = {"gte": col >= lit, "gt": col > lit,
                      "lte": col <= lit, "lt": col < lit}[op]
                 pred = p if pred is None else (pred & p)
+        # eager driver-side cast validation (ADVICE r5): an uncastable
+        # literal (e.g. a malformed date string against a timestamp
+        # column) silently becomes NULL, the predicate evaluates NULL
+        # and the whole match set empties with a 200 — ES 400s instead.
+        # One local one-row evaluation covers every literal at once.
+        if checks:
+            row = self.spark.range(1).select(
+                *[c[3].alias(f"_c{i}") for i, c in enumerate(checks)]
+            ).first()
+            for i, (field, op, val, _lit) in enumerate(checks):
+                if row[i] is None:
+                    raise ValueError(
+                        f"range {field!r}: value {val!r} is not valid for "
+                        f"the column's type")
         return pred
 
     def _range_rows(self, ranges: dict, cand_shards: set | None) -> DataFrame:

@@ -113,6 +113,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     ).where(F.col("bsz") <= max_bucket)
     cand = (
         sized.alias("x")
+        # merge hint: as with minhash_lsh_pairs, a statically-planned
+        # broadcast would recompute the whole LSH-coding pipeline for
+        # the build side; sort-merge lets both aliases reuse ONE
+        # (table, bucket) exchange (guide §2.4)
+        .hint("merge")
         .join(sized.alias("y"), ["table", "bucket"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))

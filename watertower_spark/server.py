@@ -129,15 +129,22 @@ def _parse_dsl(body: dict) -> dict:
         # ES accepts one clause or a list; we parse terms.tags and
         # range.{field} (flagged extension) in either shape
         for c in filt if isinstance(filt, list) else [filt]:
-            tt = (c or {}).get("terms", {}).get("tags")
-            rng = (c or {}).get("range")
-            if tt:
-                out["tags"].extend(tt)
-            elif rng:
-                if not isinstance(rng, dict):
+            cd = c or {}
+            # presence check, not truthiness (ADVICE r5): an empty
+            # terms list / empty range is a legal no-op for clients
+            # that build clauses programmatically, not an unknown clause
+            if "terms" in cd:
+                terms_c = cd.get("terms") or {}
+                if terms_c and "tags" not in terms_c:
+                    raise ValueError("bool.filter supports terms.tags "
+                                     "and range clauses only")
+                out["tags"].extend(terms_c.get("tags") or [])
+            elif "range" in cd:
+                rng = cd.get("range")
+                if rng and not isinstance(rng, dict):
                     raise ValueError("filter.range must be "
                                      "{field: {gte|gt|lte|lt: value}}")
-                for fld, spec in rng.items():
+                for fld, spec in (rng or {}).items():
                     merged = dict(out["ranges"].get(fld) or {})
                     merged.update(spec if isinstance(spec, dict) else {})
                     out["ranges"][fld] = merged
@@ -230,14 +237,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"indexes": sorted(self.engines)})
             return
         if parts and parts[0] == "indexes" and len(parts) == 2:
-            if method == "PUT":
-                self._create_index(parts[1], body)
-                return
-            if method == "DELETE":
-                self._drop_index(parts[1])
-                return
-            if method == "GET":
-                self._index_info(parts[1])
+            # same exception-to-JSON guard as the per-index verbs
+            # (ADVICE r5 medium: an exception inside a lifecycle
+            # handler previously closed the connection with no response)
+            try:
+                if method == "PUT":
+                    self._create_index(parts[1], body)
+                    return
+                if method == "DELETE":
+                    self._drop_index(parts[1])
+                    return
+                if method == "GET":
+                    self._index_info(parts[1])
+                    return
+            except Exception as exc:
+                from .operators.maintenance import IndexLockedError
+
+                code = 423 if isinstance(exc, IndexLockedError) else 500
+                self._send(code, {"message": str(exc)[:500]})
                 return
         if len(parts) < 3 or parts[0] != "indexes":
             self._send(404, {"message": f"no route for {parsed.path!r}"})
@@ -677,11 +694,20 @@ class _Handler(BaseHTTPRequestHandler):
             except (TypeError, ValueError):
                 self._send(400, {"message": "docs_per_shard must be int"})
                 return
-            build_index(docs, tags, idx_dir,
-                        analyzer_lang=b.get("analyzer"),
-                        default_lang=b.get("default_lang") or "",
-                        docs_per_shard=dps)
-            self.engines[name] = SearchEngine(spark, idx_dir)
+            try:
+                build_index(docs, tags, idx_dir,
+                            analyzer_lang=b.get("analyzer"),
+                            default_lang=b.get("default_lang") or "",
+                            docs_per_shard=dps)
+                self.engines[name] = SearchEngine(spark, idx_dir)
+            except Exception:
+                # never leave a half-written idx_dir behind an
+                # unregistered name: every retry PUT would 400 with
+                # 'already exists' and DELETE 404 (ADVICE r5 medium)
+                import shutil as _sh
+
+                _sh.rmtree(idx_dir, ignore_errors=True)
+                raise
             self.mut_locks[name] = threading.Lock()
         self._send(200, {"acknowledged": True, "index": name,
                          "shards_acknowledged": True})
@@ -690,7 +716,13 @@ class _Handler(BaseHTTPRequestHandler):
         """ES ``DELETE /{index}`` (flagged extension): deregister and
         remove an index CREATED THROUGH THIS SERVER (under index_root).
         Statically-mounted indexes are refused — the server doesn't own
-        their storage."""
+        their storage.
+
+        Drop-during-read is BEST-EFFORT (documented per ADVICE r5):
+        readers never lock, so an in-flight ``_search`` whose plan
+        still references the dropped parquet paths can fail with a 500
+        rather than a clean 404; the engine is deregistered first so
+        new requests 404 immediately."""
         eng = self.engines.get(name)
         if eng is None:
             self._send(404, {"message": f"index '{name}' is not found"})
