@@ -713,3 +713,25 @@ def test_delete_by_query_to_empty_then_reload(spark, tmp_index_root):
     assert int(eng2.manifest["doc_count"]) == 0
     assert eng2.search("the", None, "en").count() == 0
     assert eng2.search("the", None, "en", mode="bm25", k=5).count() == 0
+
+
+def test_term_stats_buckets_sorted_by_term(spark, rich_index):
+    """r6 optimization pin: term_stats bucket files are written sorted
+    by term, so parquet row-group min/max statistics can prune prefix/
+    fuzzy dictionary scans (round-5 verdict #5).  Property checked on
+    the physical files, not through Spark (a reader would re-sort)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from watertower_spark.operators.index_build import load_manifest, table_path
+
+    ts_dir = table_path(rich_index, load_manifest(rich_index), "term_stats")
+    files = glob.glob(f"{ts_dir}/tb=*/*.parquet")
+    assert files, ts_dir
+    checked = 0
+    for f in files:
+        terms = pq.read_table(f, columns=["term"]).column("term").to_pylist()
+        assert terms == sorted(terms), f
+        checked += len(terms)
+    assert checked > 0

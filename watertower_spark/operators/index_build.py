@@ -661,6 +661,12 @@ def build_index(
             )
             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(TS_BUCKETS)).cast("int"))
             .repartition(TS_BUCKETS, "tb")
+            # term-sorted within each bucket file: parquet row-group
+            # min/max statistics then prune `term LIKE 'pre%'` /
+            # dictionary scans (prefix+fuzzy expansion) that must
+            # otherwise read every bucket in full (round-5 verdict #5;
+            # same row set, just ordered — no format change)
+            .sortWithinPartitions("tb", "term")
             .write.mode("overwrite").partitionBy("tb")
             .parquet(f"{index_dir}/term_stats")
         )

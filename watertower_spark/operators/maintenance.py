@@ -963,11 +963,15 @@ def _apply_stats_delta(spark, index_dir: str, manifest: dict,
         # break _snapshot_old_contrib documents)
         stage = f"{index_dir}/_tmp_ts_delta_{_staging_suffix()}"
         merged.repartition(max(1, len(buckets)), "tb") \
+            .sortWithinPartitions("tb", "term") \
             .write.mode("overwrite").parquet(stage)
         gc.append(stage)
         staged = spark.read.parquet(stage)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        staged.write.mode("overwrite").partitionBy("tb").parquet(ts_dir)
+        # keep each published bucket file term-sorted (row-group min/max
+        # pruning for prefix/fuzzy dictionary scans, round-5 verdict #5)
+        staged.sortWithinPartitions("tb", "term") \
+            .write.mode("overwrite").partitionBy("tb").parquet(ts_dir)
         # a touched bucket whose every term was dropped produces zero
         # rows — dynamic overwrite leaves its old files alive; delete
         # those bucket dirs explicitly (same pattern as fully-removed
@@ -1055,6 +1059,7 @@ def _refresh_shard_metrics(spark, index_dir, manifest) -> list:
             )
             .select("term", "df", "cf", "shards", _tb_col())
             .repartition(TS_BUCKETS, "tb")
+            .sortWithinPartitions("tb", "term")
             .write.mode("overwrite").partitionBy("tb").parquet(path)
         ),
     )
