@@ -664,7 +664,11 @@ class SearchEngine:
         cost ~100 ms of driver socket chatter per query (profiled r06:
         ~1,230 py4j commands per search() call, isin the largest
         single contributor).  Values are ints, so string embedding is
-        injection-safe and yields the identical In(shard, …) predicate."""
+        injection-safe and yields the identical In(shard, …) predicate.
+        Every call site guards against an empty set; belt-and-braces,
+        an empty set compiles to FALSE rather than invalid SQL."""
+        if not shards:
+            return F.lit(False)
         return F.expr("shard IN (" + ",".join(str(int(s)) for s in shards) + ")")
 
     def _const_cols(self, key: str, builder) -> list:
