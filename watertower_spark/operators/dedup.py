@@ -94,24 +94,22 @@ def _signatures_from_sets(
     rnd = random.Random(seed)
     a = [rnd.randrange(1, _COEF_MAX) for _ in range(n_hashes)]
     b = [rnd.randrange(0, _COEF_MAX) for _ in range(n_hashes)]
-    hx = hs.withColumn("hx", F.transform("hset", lambda x: F.pmod(x, F.lit(HASH_PRIME))))
-
-    def perm(ai: int, bi: int):
-        # single-arg lambda on purpose: a two-arg transform lambda would
-        # receive the array INDEX as its second argument.  One pmod, not
-        # two: (a·x mod P + b) mod P ≡ (a·x + b) mod P, and with
-        # a,b < 2^30 and x < 2^32 the sum stays under 2^63 (no ANSI
-        # overflow) — this expression runs n_hashes × |hset| times per
-        # doc, the hottest codegen loop of the operator (guide §1.2
-        # step 2: per-task work).
-        return lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(HASH_PRIME))
-
-    mins = [
-        F.array_min(F.transform("hx", perm(a[i], b[i]))).alias(f"h{i}")
+    hx = hs.withColumn("hx", F.expr(f"transform(hset, x -> pmod(x, {HASH_PRIME}))"))
+    # One pmod, not two: (a·x mod P + b) mod P ≡ (a·x + b) mod P, and
+    # with a,b < 2^30 and x < 2^32 the sum stays under 2^63 (no ANSI
+    # overflow) — this expression runs n_hashes × |hset| times per doc,
+    # the hottest loop of the operator (guide §1.2 step 2).  The whole
+    # n_hashes-column projection is ONE parsed SQL expression: building
+    # it through the Column API costs ~6 py4j round trips per
+    # permutation (~0.3 s of every q_minhash construction, measured
+    # r06), where one expr() parse is a single round trip for the same
+    # analyzed tree.
+    mins = ", ".join(
+        f"array_min(transform(hx, x -> pmod({a[i]} * x + {b[i]}, {HASH_PRIME})))"
         for i in range(n_hashes)
-    ]
+    )
     keep = ["hset"] if keep_hset else []
-    return hx.select("doc_id", *keep, F.array(*mins).alias("sig"))
+    return hx.select("doc_id", *keep, F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(
